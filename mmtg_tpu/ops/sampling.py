@@ -1,0 +1,131 @@
+"""Fully batched, jittable top-k / top-p sampling ops.
+
+Reimplements the reference's batch-1 sampling pipeline
+(``generate.py:64-145``) as vectorized ops over ``[B, V]`` logits so a
+whole batch decodes in one fused XLA program:
+
+  * repetition penalty: unconditional division of already-seen token
+    logits (faithful to ``generate.py:127-131`` — including its behavior
+    on negative logits), exemptions {PAD=0, SEP=102}, tracked with a
+    per-row seen-token mask instead of a Python ``set``;
+  * temperature, then hard bans on {[#START#], [#EOS#], [UNK], [SEP]}
+    (``generate.py:132-136``);
+  * forced PAD when the previous token is PAD (``generate.py:137-138``);
+  * top-k threshold mask + nucleus (top-p) mask with keep-first shift
+    (``generate.py:64-94``, the Thom Wolf gist), then categorical draw.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mmtg_tpu.configs import SpecialTokens
+
+NEG_INF = -1e30
+SPECIAL = SpecialTokens()
+DEFAULT_BANNED = (SPECIAL.start_id, SPECIAL.eos_id, SPECIAL.unk_id, SPECIAL.sep_id)
+DEFAULT_PENALTY_EXEMPT = (SPECIAL.pad_id, SPECIAL.sep_id)
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,
+    seen_mask: jnp.ndarray,
+    penalty: float,
+    exempt_ids: Sequence[int] = DEFAULT_PENALTY_EXEMPT,
+) -> jnp.ndarray:
+    """Divide logits of seen tokens by ``penalty`` (``generate.py:127-131``).
+
+    Args:
+      logits: ``[B, V]``.
+      seen_mask: ``[B, V]`` bool/0-1 — token appeared in the row so far.
+    """
+    seen = seen_mask.astype(bool)
+    if exempt_ids:
+        seen = seen.at[:, jnp.asarray(exempt_ids)].set(False)
+    return jnp.where(seen, logits / penalty, logits)
+
+
+def ban_tokens(
+    logits: jnp.ndarray, banned_ids: Sequence[int] = DEFAULT_BANNED
+) -> jnp.ndarray:
+    """Set banned token logits to -inf (``generate.py:133-136``)."""
+    return logits.at[:, jnp.asarray(banned_ids)].set(NEG_INF)
+
+
+def top_k_top_p_filter(
+    logits: jnp.ndarray, top_k: int = 0, top_p: float = 0.0
+) -> jnp.ndarray:
+    """Batched port of the reference filter (``generate.py:64-94``).
+
+    top-k keeps every logit ≥ the k-th largest; top-p sorts descending,
+    masks tokens whose *cumulative* softmax mass exceeds ``top_p``, with
+    the keep-first right-shift so at least one token always survives.
+    """
+    V = logits.shape[-1]
+    if top_k > 0:
+        k = min(top_k, V)
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p > 0.0:
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove = cum_probs > top_p
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+        )
+        sorted_logits = jnp.where(remove, NEG_INF, sorted_logits)
+        # Unsort back to vocab order.
+        inv = jnp.argsort(sort_idx, axis=-1)
+        logits = jnp.take_along_axis(sorted_logits, inv, axis=-1)
+    return logits
+
+
+def sample_next_token(
+    key: jax.Array,
+    logits: jnp.ndarray,
+    seen_mask: jnp.ndarray,
+    last_token: jnp.ndarray,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    repetition_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """One full sampling step over a batch (``generate.py:124-142`` order).
+
+    Args:
+      logits: ``[B, V]`` next-token logits.
+      seen_mask: ``[B, V]`` tokens generated so far (incl. prompt).
+      last_token: ``[B]`` previous token id (PAD forces PAD).
+    Returns:
+      ``[B]`` int32 sampled token ids.
+    """
+    if repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
+    logits = logits / temperature
+    logits = ban_tokens(logits)
+    filtered = top_k_top_p_filter(logits, top_k=top_k, top_p=top_p)
+    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+    return jnp.where(last_token == SPECIAL.pad_id, SPECIAL.pad_id, sampled)
+
+
+def frame_forced_token(step_index: jnp.ndarray, sent_frame_length: int = 22):
+    """Forced frame tokens at sentence boundaries (``generate.py:118-122``).
+
+    The reference decodes positions ``i = 0..length-1`` (relative to the
+    initial ``[#START#]``) and forces ``[#EOS#]`` when ``(i+2) % 22 == 0``
+    and ``[#START#]`` when ``(i+2) % 22 == 1`` for ``i > 0``.
+
+    Returns:
+      (is_forced ``bool``, forced_id ``int32``) for the given step index.
+    """
+    m = (step_index + 2) % sent_frame_length
+    is_eos = jnp.logical_and(step_index > 0, m == 0)
+    is_start = jnp.logical_and(step_index > 0, m == 1)
+    forced = jnp.where(
+        is_eos, SPECIAL.eos_id, jnp.where(is_start, SPECIAL.start_id, 0)
+    ).astype(jnp.int32)
+    return jnp.logical_or(is_eos, is_start), forced

@@ -1,0 +1,64 @@
+"""Test env: force an 8-device CPU mesh so pjit/shard_map paths run in CI
+without TPU hardware (SURVEY.md §4 "Multi-device without a cluster")."""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# The shell env pins JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
+# the 8-device virtual CPU mesh, and jax.config wins over the env var.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+REFERENCE_VOCAB = "/root/reference/src/vocab/vocab.txt"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def reference_vocab_path():
+    if not os.path.exists(REFERENCE_VOCAB):
+        pytest.skip("reference vocab.txt not available")
+    return REFERENCE_VOCAB
+
+
+@pytest.fixture(scope="session")
+def tokenizer(reference_vocab_path):
+    from mmtg_tpu.tokenizer import WordPieceTokenizer
+
+    return WordPieceTokenizer.from_file(reference_vocab_path)
+
+
+@pytest.fixture(scope="session")
+def tiny_model_cfg():
+    """Small-but-structured config: full wiring, fast to run."""
+    from mmtg_tpu.configs import ChannelConfig, GPT2Config, ModelConfig
+
+    return ModelConfig(
+        seq_len=5,
+        topic=ChannelConfig(input_dim=64, hidden_dim=32, type="MLP"),
+        image=ChannelConfig(input_dim=64, hidden_dim=32, type="GRU"),
+        text=ChannelConfig(input_dim=64, hidden_dim=32, type="GRU"),
+        self_att_hidden_size=32,
+        self_att_heads=4,
+        mm_att_out_dim=64,
+        gpt2=GPT2Config(
+            vocab_size=200, n_positions=256, n_ctx=250, n_embd=48, n_layer=2, n_head=4
+        ),
+    )
+
+
+@pytest.fixture(scope="session")
+def tiny_data_cfg():
+    from mmtg_tpu.configs import DataConfig
+
+    return DataConfig(wenlan_emb_size=64)
