@@ -1,0 +1,187 @@
+"""Batched KV-cached generation engine.
+
+Replaces the reference's ``sample_sequence`` (``generate.py:97-145``) —
+a batch-1 Python loop that re-forwards the *entire* model over the growing
+prefix for every token (O(L³) attention work, no KV cache) — with a single
+jitted program: the encoder and topic-prompt prefill run once, then a
+``lax.scan`` over 220 fixed steps performs one-token cached decode with
+fused repetition-penalty / temperature / ban / top-k / top-p / categorical
+sampling, fully batched.
+
+Faithfulness notes (all reference-cited):
+  * frame tokens forced at sentence boundaries, ``(i+2) % 22 ∈ {0, 1}``
+    (``generate.py:118-122``) — forced tokens still enter the cache, as
+    they do implicitly in the reference's full re-forward;
+  * PAD begets PAD until the next frame boundary (``generate.py:137-138``);
+  * repetition penalty divides seen-token logits unconditionally
+    (``generate.py:127-131``), exempting {PAD, SEP};
+  * the attention mask masks PAD keys, per-row (the reference's rebuild
+    peeks at batch element 0 — ``model.py:311`` — which is equivalent
+    only at batch 1; here every row gets its own mask);
+  * type ids follow ``GenerateConfig.type_id_scheme`` (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig, SpecialTokens
+from mmtg_tpu.models.gpt2 import gpt2_decode_step, prefill_cache
+from mmtg_tpu.models.mmtg import (
+    decoder_input_embeds,
+    encode_experiences,
+    infer_scheme_type_ids,
+    project_to_gpt2,
+    train_scheme_type_ids,
+    wenlan_embed,
+)
+from mmtg_tpu.ops.sampling import frame_forced_token, sample_next_token
+
+SPECIAL = SpecialTokens()
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "dcfg", "gcfg"),
+)
+def generate(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Generate lyrics for a whole batch in one compiled program.
+
+    Args:
+      batch: reference-keyed arrays (``topic_ids``, ``tpw_*``,
+        ``topic_emb``, ``img_embs``, ``r_embs``); targets are generated.
+      rng: PRNG key; one independent stream per decode step.
+    Returns:
+      ``[B, 1 + length]`` int32 token ids, position 0 = ``[#START#]``
+      (the reference seeds generation with a bare START, ``generate.py:208-210``).
+    """
+    table = const["wenlan_table"]
+    scheme = (
+        infer_scheme_type_ids
+        if gcfg.type_id_scheme == "reference_infer"
+        else train_scheme_type_ids
+    )
+    B = batch["topic_ids"].shape[0]
+    P = dcfg.topic_prompt_length
+    V = mcfg.gpt2.vocab_size
+    length = gcfg.length
+    capacity = _round_up(P + length + 1, 64)
+
+    # ---- encoder runs ONCE (the reference re-runs it per token) ----------
+    fused, _ = encode_experiences(
+        params,
+        mcfg,
+        batch["topic_emb"].astype(jnp.float32),
+        batch["img_embs"].astype(jnp.float32),
+        batch["r_embs"].astype(jnp.float32),
+    )
+
+    # ---- prefill: topic prompt + initial [#START#] ------------------------
+    start_tok = jnp.full((B, 1), SPECIAL.start_id, jnp.int32)
+    embeds = decoder_input_embeds(
+        params, table, dcfg, fused, batch["topic_ids"], start_tok
+    )
+    type_ids = jnp.concatenate(
+        [batch["tpw_type_ids"].astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
+    )
+    attn_mask = jnp.concatenate(
+        [batch["tpw_attention_mask"].astype(jnp.int32), jnp.ones((B, 1), jnp.int32)],
+        axis=1,
+    )
+    prefill_logits, cache = prefill_cache(
+        params["gpt2"],
+        mcfg.gpt2,
+        embeds,
+        jnp.arange(P + 1)[None, :],
+        type_ids,
+        attn_mask,
+        capacity,
+    )
+
+    key_mask = jnp.zeros((B, capacity), jnp.int32)
+    key_mask = jax.lax.dynamic_update_slice(key_mask, attn_mask, (0, 0))
+
+    tokens = jnp.zeros((B, length + 1), jnp.int32).at[:, 0].set(SPECIAL.start_id)
+    seen = jnp.zeros((B, V), bool).at[:, SPECIAL.start_id].set(True)
+
+    # fused window id per target position j: j // 44, clamped; no addition
+    # past the last window (model.py:267-268).
+    win = dcfg.two_sents_length
+    T_steps = fused.shape[1]
+
+    def step(carry, i):
+        cache, key_mask, tokens, seen, last_logits = carry
+        # --- choose token for target position j = i + 1 ---
+        is_forced, forced_id = frame_forced_token(i, dcfg.sent_frame_length)
+        step_rng = jax.random.fold_in(rng, i)
+        last_token = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))[:, 0]
+        sampled = sample_next_token(
+            step_rng,
+            last_logits,
+            seen,
+            last_token,
+            temperature=gcfg.temperature,
+            top_k=gcfg.top_k,
+            top_p=gcfg.top_p,
+            repetition_penalty=gcfg.repetition_penalty,
+        )
+        tok = jnp.where(is_forced, forced_id, sampled)  # [B]
+        j = i + 1
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, j))
+        seen = seen.at[jnp.arange(B), tok].set(True)
+
+        # --- embed the new token and extend the cache ---
+        wl = wenlan_embed(table, tok)  # [B, 2048]
+        w_idx = jnp.minimum(j // win, T_steps - 1)
+        add = jnp.where(j < win * T_steps, 1.0, 0.0)
+        wl = wl + add * fused[:, w_idx]
+        x = project_to_gpt2(params, wl)
+        tt = scheme(j[None], tok, dcfg)  # [B]
+        not_pad = (tok != SPECIAL.pad_id).astype(jnp.int32)
+        key_mask = jax.lax.dynamic_update_slice(key_mask, not_pad[:, None], (0, P + j))
+        logits, cache = gpt2_decode_step(
+            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask
+        )
+        return (cache, key_mask, tokens, seen, logits), None
+
+    init = (cache, key_mask, tokens, seen, prefill_logits[:, -1])
+    (cache, key_mask, tokens, seen, _), _ = jax.lax.scan(
+        step, init, jnp.arange(length)
+    )
+    return tokens
+
+
+def postprocess_tokens(token_ids, tokenizer) -> str:
+    """Host-side cleanup of one generated row (``generate.py:222-235``):
+    cut at the 10th ``[#EOS#]`` (or first ``[SEP]``), strip specials,
+    join sentences with '，'."""
+    toks = tokenizer.convert_ids_to_tokens([int(t) for t in token_ids])
+    eos_idx = [i for i, v in enumerate(toks) if v == "[#EOS#]"]
+    if len(eos_idx) >= 10 and "[SEP]" not in toks[: eos_idx[-1]]:
+        toks = toks[: eos_idx[9] + 1] + ["[SEP]"]
+    elif "[SEP]" in toks:
+        toks = toks[: toks.index("[SEP]") + 1]
+    else:
+        toks = toks + ["[SEP]"]
+    s = "".join(toks)
+    for spec, rep in (("[SEP]", ""), ("[PAD]", ""), ("[#START#]", ""), ("[#EOS#]", "，")):
+        s = s.replace(spec, rep)
+    while s and s[-1] == "，":
+        s = s[:-1]
+    return s

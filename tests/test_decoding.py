@@ -1,0 +1,195 @@
+"""Generation engine tests: sampling ops, frame structure, and exact
+equivalence between the KV-cached scan decode and a reference-style
+full-re-forward decode (generate.py:97-145 semantics)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtg_tpu.configs import GenerateConfig, SpecialTokens
+from mmtg_tpu.decoding import generate, postprocess_tokens
+from mmtg_tpu.models.mmtg import (
+    init_mmtg_params,
+    mmtg_forward_infer,
+    train_scheme_type_ids,
+)
+from mmtg_tpu.ops.sampling import (
+    apply_repetition_penalty,
+    frame_forced_token,
+    sample_next_token,
+    top_k_top_p_filter,
+)
+
+SPECIAL = SpecialTokens()
+
+
+# ---------------------------------------------------------------------------
+# sampling ops vs the reference filter (torch oracle)
+# ---------------------------------------------------------------------------
+
+
+def _reference_filter_np(logits, top_k, top_p):
+    """Literal numpy transcription of generate.py:64-94 (batch 1)."""
+    logits = logits.copy()
+    if top_k > 0:
+        kth = np.sort(logits)[-top_k]
+        logits[logits < kth] = -np.inf
+    if top_p > 0.0:
+        order = np.argsort(-logits, kind="stable")
+        sorted_logits = logits[order]
+        ex = np.exp(sorted_logits - np.nanmax(sorted_logits[np.isfinite(sorted_logits)]))
+        ex[~np.isfinite(sorted_logits)] = 0.0
+        probs = ex / ex.sum()
+        cum = np.cumsum(probs)
+        remove = cum > top_p
+        remove[1:] = remove[:-1].copy()
+        remove[0] = False
+        logits[order[remove]] = -np.inf
+    return logits
+
+
+@pytest.mark.parametrize("top_k,top_p", [(5, 0.0), (0, 0.7), (10, 0.7), (3, 0.99)])
+def test_filter_matches_reference(top_k, top_p, rng):
+    logits = rng.standard_normal(50).astype(np.float32) * 3
+    ref = _reference_filter_np(logits, top_k, top_p)
+    ours = np.asarray(top_k_top_p_filter(jnp.asarray(logits)[None], top_k, top_p))[0]
+    kept_ref = np.isfinite(ref)
+    kept_ours = ours > -1e29
+    np.testing.assert_array_equal(kept_ours, kept_ref)
+    np.testing.assert_allclose(ours[kept_ours], ref[kept_ref], rtol=1e-6)
+
+
+def test_repetition_penalty_faithful_division():
+    # the reference divides unconditionally — negative logits get BOOSTED
+    # (generate.py:131); we reproduce that faithfully.
+    logits = jnp.asarray([[2.0, -2.0, 1.0, 3.0]])
+    seen = jnp.asarray([[True, True, False, False]])
+    out = apply_repetition_penalty(logits, seen, 2.0, exempt_ids=(3,))
+    np.testing.assert_allclose(np.asarray(out)[0], [1.0, -1.0, 1.0, 3.0])
+
+
+def test_frame_positions():
+    # (i+2) % 22 == 0 → EOS; == 1 → START; i=0 is never forced
+    forced = []
+    for i in range(46):
+        f, tok = frame_forced_token(jnp.asarray(i))
+        forced.append((bool(f), int(tok)))
+    assert forced[0] == (False, 0)
+    assert forced[20] == (True, SPECIAL.eos_id)  # position 21 ends sentence 0
+    assert forced[21] == (True, SPECIAL.start_id)  # position 22 opens sentence 1
+    assert forced[42] == (True, SPECIAL.eos_id)
+    assert forced[43] == (True, SPECIAL.start_id)
+    assert all(not f for i, (f, _) in enumerate(forced) if i not in (20, 21, 42, 43))
+
+
+def test_pad_begets_pad():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.zeros((2, 10))
+    seen = jnp.zeros((2, 10), bool)
+    last = jnp.asarray([SPECIAL.pad_id, 5])
+    tok = sample_next_token(key, logits, seen, last, top_k=3)
+    assert int(tok[0]) == SPECIAL.pad_id
+
+
+# ---------------------------------------------------------------------------
+# cached decode ≡ reference-style full re-forward decode
+# ---------------------------------------------------------------------------
+
+
+def _reference_style_decode(params, const, mcfg, dcfg, gcfg, batch, rng):
+    """Slow oracle: re-forward the whole prefix per token, like
+    generate.py:117-142, using the same per-step RNG stream."""
+    B = batch["topic_ids"].shape[0]
+    V = mcfg.gpt2.vocab_size
+    tokens = np.full((B, gcfg.length + 1), 0, np.int32)
+    tokens[:, 0] = SPECIAL.start_id
+    seen = np.zeros((B, V), bool)
+    seen[:, SPECIAL.start_id] = True
+    for i in range(gcfg.length):
+        is_forced, forced = frame_forced_token(jnp.asarray(i), dcfg.sent_frame_length)
+        if bool(is_forced):
+            tok = np.full((B,), int(forced), np.int32)
+        else:
+            prefix = jnp.asarray(tokens[:, : i + 1])
+            b = dict(batch, targets=prefix)
+            out = mmtg_forward_infer(
+                params, const, mcfg, dcfg, b, type_id_scheme=gcfg.type_id_scheme
+            )
+            logits = out.logits[:, -1]
+            step_rng = jax.random.fold_in(rng, i)
+            tok = np.asarray(
+                sample_next_token(
+                    step_rng,
+                    logits,
+                    jnp.asarray(seen),
+                    jnp.asarray(tokens[:, i]),
+                    temperature=gcfg.temperature,
+                    top_k=gcfg.top_k,
+                    top_p=gcfg.top_p,
+                    repetition_penalty=gcfg.repetition_penalty,
+                )
+            )
+        tokens[:, i + 1] = tok
+        seen[np.arange(B), tok] = True
+    return tokens
+
+
+@pytest.fixture(scope="module")
+def gen_setup(request):
+    tiny_model_cfg = request.getfixturevalue("tiny_model_cfg")
+    tiny_data_cfg = request.getfixturevalue("tiny_data_cfg")
+    tokenizer = request.getfixturevalue("tokenizer")
+    rng = np.random.default_rng(7)
+    from mmtg_tpu.data import MMTGDataset, make_synthetic_records
+
+    records = make_synthetic_records(2, rng, emb_size=tiny_data_cfg.wenlan_emb_size)
+    ds = MMTGDataset.from_records(records, tokenizer, tiny_data_cfg, if_train=False)
+    batch = next(ds.batches(batch_size=2))
+    batch.pop("sample_mask")
+    V = tiny_model_cfg.gpt2.vocab_size
+    for k in ("topic_ids", "targets"):
+        batch[k] = np.minimum(batch[k], V - 1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_mmtg_params(jax.random.PRNGKey(3), tiny_model_cfg)
+    table = jax.random.normal(
+        jax.random.PRNGKey(4), (V, tiny_data_cfg.wenlan_emb_size)
+    )
+    return params, {"wenlan_table": table}, tiny_model_cfg, tiny_data_cfg, jb
+
+
+def test_cached_decode_matches_reference_style(gen_setup):
+    params, const, mcfg, dcfg, jb = gen_setup
+    gcfg = GenerateConfig(length=46, top_k=8, top_p=0.7, temperature=1.1,
+                          repetition_penalty=1.5)
+    rng = jax.random.PRNGKey(11)
+    fast = np.asarray(generate(params, const, mcfg, dcfg, gcfg, jb, rng))
+    slow = _reference_style_decode(params, const, mcfg, dcfg, gcfg, jb, rng)
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_generated_frame_structure(gen_setup):
+    params, const, mcfg, dcfg, jb = gen_setup
+    gcfg = GenerateConfig(length=68, top_k=5)
+    toks = np.asarray(
+        generate(params, const, mcfg, dcfg, gcfg, jb, jax.random.PRNGKey(1))
+    )
+    # sentence grid: position 22k = START, position 22k+21 = EOS
+    for k in range(toks.shape[1] // 22):
+        assert (toks[:, 22 * k] == SPECIAL.start_id).all()
+        if 22 * k + 21 < toks.shape[1]:
+            assert (toks[:, 22 * k + 21] == SPECIAL.eos_id).all()
+    banned = {SPECIAL.unk_id, SPECIAL.sep_id}
+    inner = [t for row in toks for j, t in enumerate(row) if j % 22 not in (0, 21)]
+    assert banned.isdisjoint(set(int(x) for x in inner))
+
+
+def test_postprocess(tokenizer):
+    # two framed sentences then SEP
+    ids = [1] + tokenizer.convert_tokens_to_ids(list("青山一道")) + [0] * 16 + [2]
+    ids += [1] + tokenizer.convert_tokens_to_ids(list("明月何曾")) + [0] * 16 + [2]
+    ids += [tokenizer.sep_token_id]
+    s = postprocess_tokens(ids, tokenizer)
+    assert s == "青山一道，明月何曾"
