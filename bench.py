@@ -1,0 +1,150 @@
+"""Headline benchmark: batched KV-cached decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "generated tokens/sec/chip", "value": N, "unit": "tok/s",
+   "vs_baseline": R, ...}
+
+``value`` is measured on the full-size MMTG (12L/12H/768d GPT-2, vocab
+13317) decoding ``--batch`` sequences of 220 tokens with the reference's
+canonical sampling config (temp 1.1 / top-k 10 / top-p 0.7 / rep-pen 1.5
+— reference ``generate.sh:10-14``).
+
+``vs_baseline`` compares against a faithfully-shaped reference decode
+measured on the SAME chip: batch-1, NO KV cache, one full model re-forward
+over the (statically padded) prefix per token — the cost shape of
+reference ``generate.py:117-124``. (The repo publishes no GPU numbers —
+BASELINE.md — so the reference's own algorithm on identical hardware is
+the baseline; padding its re-forward to a static 236 window only *helps*
+the baseline, making the ratio conservative.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--baseline-tokens", type=int, default=220,
+                    help="tokens to decode for the batch-1 uncached baseline")
+    ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmtg_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig
+    from mmtg_tpu.decoding import generate
+    from mmtg_tpu.models.mmtg import init_mmtg_params, mmtg_forward_infer
+    from mmtg_tpu.ops.sampling import sample_next_token
+    from mmtg_tpu.configs import SpecialTokens
+
+    dev = jax.devices()[0]
+    mcfg, dcfg = ModelConfig(), DataConfig()
+    gcfg = GenerateConfig()  # canonical decode config
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    params = init_mmtg_params(jax.random.PRNGKey(0), mcfg, dtype=dtype)
+    const = {
+        "wenlan_table": jnp.asarray(
+            rng.standard_normal((mcfg.gpt2.vocab_size, dcfg.wenlan_emb_size)),
+            dtype,
+        )
+    }
+
+    def make_batch(B):
+        P, E = dcfg.topic_prompt_length, dcfg.wenlan_emb_size
+        return {
+            "topic_ids": jnp.asarray(rng.integers(103, 8000, (B, P)), jnp.int32),
+            "tpw_attention_mask": jnp.ones((B, P), jnp.int32),
+            "tpw_type_ids": jnp.ones((B, P), jnp.int32),
+            "topic_emb": jnp.asarray(rng.standard_normal((B, E)), dtype),
+            "img_embs": jnp.asarray(rng.standard_normal((B, 5, E)), dtype),
+            "r_embs": jnp.asarray(rng.standard_normal((B, 5, E)), dtype),
+        }
+
+    # ---- headline: batched KV-cached decode -------------------------------
+    B = args.batch
+    batch = make_batch(B)
+    key = jax.random.PRNGKey(1)
+    toks = jax.block_until_ready(generate(params, const, mcfg, dcfg, gcfg, batch, key))
+    t0 = time.perf_counter()
+    runs = 3
+    for i in range(runs):
+        toks = generate(params, const, mcfg, dcfg, gcfg, batch,
+                        jax.random.fold_in(key, i))
+    jax.block_until_ready(toks)
+    dt = (time.perf_counter() - t0) / runs
+    tokens_per_sec = B * gcfg.length / dt
+
+    # ---- baseline: reference-shaped decode (batch 1, no KV cache) --------
+    vs_baseline = None
+    if not args.skip_baseline:
+        SP = SpecialTokens()
+        b1 = make_batch(1)
+        n_base = args.baseline_tokens
+        T = dcfg.target_length
+
+        def uncached_step(params, const, tokens, length, step_key):
+            # full re-forward over the statically padded prefix
+            b = dict(b1, targets=tokens)
+            out = mmtg_forward_infer(params, const, mcfg, dcfg, b)
+            idx = dcfg.topic_prompt_length + length - 1
+            logits = jax.lax.dynamic_slice(
+                out.logits, (0, idx, 0), (1, 1, out.logits.shape[-1])
+            )[:, 0]
+            seen = jnp.zeros((1, mcfg.gpt2.vocab_size), bool)
+            last = jax.lax.dynamic_slice(tokens, (0, length - 1), (1, 1))[:, 0]
+            return sample_next_token(
+                step_key, logits, seen, last,
+                temperature=gcfg.temperature, top_k=gcfg.top_k,
+                top_p=gcfg.top_p, repetition_penalty=gcfg.repetition_penalty,
+            )
+
+        ustep = jax.jit(uncached_step)
+        tokens = jnp.zeros((1, T), jnp.int32).at[:, 0].set(SP.start_id)
+        # warmup compile
+        jax.block_until_ready(ustep(params, const, tokens, jnp.asarray(1), key))
+        t0 = time.perf_counter()
+        for i in range(n_base):
+            nxt = ustep(params, const, tokens, jnp.asarray(i + 1),
+                        jax.random.fold_in(key, i))
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        jax.block_until_ready(tokens)
+        base_dt = time.perf_counter() - t0
+        base_tps = n_base / base_dt
+        vs_baseline = tokens_per_sec / base_tps
+
+    result = {
+        "metric": "generated tokens/sec/chip (GPT2 decode, batch %d, KV-cached)" % B,
+        "value": round(tokens_per_sec, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "detail": {
+            "batch": B,
+            "length": gcfg.length,
+            "dtype": args.dtype,
+            "decode_wall_s": round(dt, 3),
+            "p50_latency_s": round(dt, 3),
+            "baseline": "batch-1 uncached full re-forward per token "
+                        "(reference generate.py:117-124 cost shape), same chip",
+            "baseline_tok_s": round(base_tps, 2) if vs_baseline else None,
+            "device": str(dev),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,9 +87,9 @@ def generate(
     fused, _ = encode_experiences(
         params,
         mcfg,
-        batch["topic_emb"].astype(jnp.float32),
-        batch["img_embs"].astype(jnp.float32),
-        batch["r_embs"].astype(jnp.float32),
+        batch["topic_emb"],
+        batch["img_embs"],
+        batch["r_embs"],
     )
 
     # ---- prefill: topic prompt + initial [#START#] ------------------------

@@ -83,6 +83,12 @@ def encode_experiences(
     Returns:
       (fused ``[B, T, 2048]``, kl_per_sample ``[B]`` = img_kl + text_kl).
     """
+    # cast to the parameter compute dtype (reference .float() casts,
+    # model.py:371-373; bfloat16 when params are bf16)
+    dtype = params["encoder"]["topic_fc"]["w"].dtype
+    topic_emb = topic_emb.astype(dtype)
+    img_embs = img_embs.astype(dtype)
+    r_embs = r_embs.astype(dtype)
     ln = lambda x, p: _layer_norm(x, p["g"], p["b"], 1e-5)
     topic_o, image_o, text_o = encoder_forward(
         params["encoder"],
@@ -221,9 +227,9 @@ def mmtg_forward_train(
     fused, kl = encode_experiences(
         params,
         mcfg,
-        batch["topic_emb"].astype(jnp.float32),
-        batch["img_embs"].astype(jnp.float32),
-        batch["r_embs"].astype(jnp.float32),
+        batch["topic_emb"],
+        batch["img_embs"],
+        batch["r_embs"],
         dropout_key=enc_key,
     )
     embeds = decoder_input_embeds(
@@ -278,9 +284,9 @@ def mmtg_forward_infer(
     fused, kl = encode_experiences(
         params,
         mcfg,
-        batch["topic_emb"].astype(jnp.float32),
-        batch["img_embs"].astype(jnp.float32),
-        batch["r_embs"].astype(jnp.float32),
+        batch["topic_emb"],
+        batch["img_embs"],
+        batch["r_embs"],
     )
     targets = batch["targets"]
     embeds = decoder_input_embeds(

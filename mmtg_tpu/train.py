@@ -1,0 +1,402 @@
+"""Curriculum trainer: optax AdamW + linear warmup/decay, pjit over a mesh.
+
+CLI-parity rebuild of the reference trainer (``train.py:33-268``):
+identical flag names and defaults, identical optimization recipe
+(transformers-AdamW lr 1e-5 / eps 1e-6 / wd 0, linear warmup over 10% of
+one epoch then linear decay — ``train.py:137-148``; global-norm grad clip
+1.0 — ``:194``), identical curriculum semantics (stage-by-epoch with a 2×
+batch in stage 1 and rating-based filtering — ``:130-135``, ``:159-186``)
+— but with static shapes throughout: filtering is a 0/1 sample-weight
+mask, so one compiled train step serves every stage and batch.
+
+TPU-native extras over the reference: full train-state checkpointing with
+resume (params + optimizer + step + PRNG via Orbax), bfloat16 compute
+option, mesh-sharded data parallelism (gradient all-reduce emitted by XLA
+over ICI), and throughput logging.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmtg_tpu.configs import DataConfig, ModelConfig, SpecialTokens, TrainConfig
+from mmtg_tpu.loss import (
+    curriculum_sample_weights,
+    sequence_unlikelihood_loss,
+    stage_for_epoch,
+    weighted_mean,
+)
+from mmtg_tpu.models.mmtg import init_mmtg_params, mmtg_forward_train
+from mmtg_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from mmtg_tpu.utils.logging import StepTimer, format_time, setup_logger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    rng: jax.Array
+
+
+def make_schedule(tcfg: TrainConfig, warmup_steps: int, total_steps: int):
+    """Linear warmup → linear decay to 0 (``get_linear_schedule_with_warmup``,
+    reference ``train.py:146-148``)."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, tcfg.lr, max(warmup_steps, 1)),
+            optax.linear_schedule(
+                tcfg.lr, 0.0, max(total_steps - warmup_steps, 1)
+            ),
+        ],
+        [max(warmup_steps, 1)],
+    )
+
+
+def make_optimizer(tcfg: TrainConfig, warmup_steps: int, total_steps: int):
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip_norm),
+        optax.adamw(
+            make_schedule(tcfg, warmup_steps, total_steps),
+            b1=tcfg.adam_b1,
+            b2=tcfg.adam_b2,
+            eps=tcfg.adam_eps,
+            weight_decay=tcfg.weight_decay,
+        ),
+    )
+
+
+def create_train_state(
+    key: jax.Array,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    warmup_steps: int,
+    total_steps: int,
+    params: Optional[Dict] = None,
+) -> Tuple[TrainState, Any]:
+    pkey, rkey = jax.random.split(key)
+    if params is None:
+        params = init_mmtg_params(pkey, mcfg)
+    tx = make_optimizer(tcfg, warmup_steps, total_steps)
+    return (
+        TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), rkey),
+        tx,
+    )
+
+
+def loss_and_metrics(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    tcfg: TrainConfig,
+    batch: Dict[str, jnp.ndarray],
+    stage: jnp.ndarray,
+    dropout_rng: Optional[jax.Array],
+    deterministic: bool,
+):
+    """total = unlikelihood(curriculum-masked) + alpha·KL
+    (reference ``train.py:191-192``)."""
+    out = mmtg_forward_train(
+        params,
+        const,
+        mcfg,
+        dcfg,
+        batch,
+        dropout_rng=dropout_rng,
+        deterministic=deterministic,
+    )
+    ratings = batch["rating"]
+    weights = curriculum_sample_weights(ratings, stage)
+    if "sample_mask" in batch:
+        weights = weights * batch["sample_mask"]
+    loss = sequence_unlikelihood_loss(
+        out.logits, batch["targets"], ratings, stage, dcfg, weights
+    )
+    kl = weighted_mean(out.kl_per_sample, weights)
+    total = loss + tcfg.alpha * kl
+    return total, {"loss": loss, "kl": kl, "total": total, "kept": jnp.sum(weights)}
+
+
+def make_train_step(mcfg, dcfg, tcfg, tx):
+    """One jitted, donated train step (grad → clip → AdamW → apply).
+
+    ``const`` (the ~109MB WenLan gather table) is a runtime argument, NOT
+    a closure capture — capturing it would bake it into the HLO as a
+    constant and blow up compile payloads."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, const: Dict, batch: Dict, stage: jnp.ndarray):
+        rng, dropout_rng = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            return loss_and_metrics(
+                p, const, mcfg, dcfg, tcfg, batch, stage, dropout_rng, False
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, rng), metrics
+
+    return train_step
+
+
+def make_eval_step(mcfg, dcfg, tcfg):
+    @jax.jit
+    def eval_step(params: Dict, const: Dict, batch: Dict, stage: jnp.ndarray):
+        _, metrics = loss_and_metrics(
+            params, const, mcfg, dcfg, tcfg, batch, stage, None, True
+        )
+        return metrics
+
+    return eval_step
+
+
+def evaluate(eval_step, params, const, dataset, batch_size, stage) -> Tuple[float, float]:
+    """Mean val loss over the set (reference ``train.py:241-268``): batches
+    with zero kept samples contribute 0, faithful to the reference's
+    ``continue``-then-divide-by-len behavior."""
+    losses, kls, n = 0.0, 0.0, 0
+    for batch in dataset.batches(batch_size):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        m = eval_step(params, const, jb, jnp.asarray(stage))
+        kept = float(m["kept"])
+        if kept > 0:
+            losses += float(m["total"])
+            kls += float(m["kl"])
+        n += 1
+    return losses / max(n, 1), kls / max(n, 1)
+
+
+# ---------------------------------------------------------------------------
+# CLI (flag names/defaults per reference train.py:33-51 + train.sh)
+# ---------------------------------------------------------------------------
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MMTG TPU trainer")
+    p.add_argument("--device_ids", default="0", type=str,
+                   help="kept for reference-CLI parity; mesh uses all devices")
+    p.add_argument("--batch_size", default=32, type=int)
+    p.add_argument("--val_batch_size", default=32, type=int)
+    p.add_argument("--epochs", default=5, type=int)
+    p.add_argument("--lr", default=1e-05, type=float)
+    p.add_argument("--curriculums", default="1,3", type=str,
+                   help="two ints, e.g. '1,3' (also accepts '[1,3]')")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--num_workers", default=0, type=int,
+                   help="parity no-op (data is pre-packed, no loader workers)")
+    p.add_argument("--log_interval", default=100, type=int)
+    p.add_argument("--val_interval_ratio", default=0.2, type=float)
+    p.add_argument("--train_data_path", default="", type=str)
+    p.add_argument("--val_data_path", default="", type=str)
+    p.add_argument("--save_model", action="store_true")
+    p.add_argument("--save_path", default="", type=str)
+    p.add_argument("--log_path", default="", type=str)
+    p.add_argument("--alpha", default=0, type=float, help="Factor of KL loss")
+    # TPU-native extras:
+    p.add_argument("--vocab_path", default="./vocab/vocab.txt", type=str)
+    p.add_argument("--token_emb_path", default="./vocab/token_id2emb_dict.pkl", type=str)
+    p.add_argument("--gpt2_ckpt", default="", type=str,
+                   help="phase-1 GPT-2 .pth/.ckpt to initialize the decoder")
+    p.add_argument("--resume", action="store_true", help="resume from save_path")
+    p.add_argument("--mesh_data", default=0, type=int,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--profile_dir", default="", type=str)
+    return p
+
+
+def parse_curriculums(s: str) -> Tuple[int, int]:
+    vals = [int(x) for x in s.strip("[] ").split(",")]
+    if len(vals) != 2:
+        raise ValueError(f"--curriculums expects two ints, got {s!r}")
+    return (vals[0], vals[1])
+
+
+def main(argv=None) -> float:
+    args = build_arg_parser().parse_args(argv)
+    from mmtg_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
+    from mmtg_tpu.tokenizer import WordPieceTokenizer
+
+    logger = setup_logger(args.log_path or None)
+    logger.info(str(args))
+
+    mcfg = ModelConfig()
+    dcfg = DataConfig()
+    curriculums = parse_curriculums(args.curriculums)
+    tcfg = TrainConfig(
+        batch_size=args.batch_size,
+        val_batch_size=args.val_batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+        curriculums=curriculums,
+        seed=args.seed,
+        log_interval=args.log_interval,
+        val_interval_ratio=args.val_interval_ratio,
+        alpha=args.alpha,
+    )
+
+    tokenizer = WordPieceTokenizer.from_file(args.vocab_path)
+    logger.info("Loading data...")
+    train_data = MMTGDataset(args.train_data_path, tokenizer, dcfg, if_train=True)
+    valid_data = MMTGDataset(args.val_data_path, tokenizer, dcfg, if_train=True)
+    table = load_token_embedding_table(
+        args.token_emb_path, len(tokenizer), dcfg.wenlan_emb_size
+    )
+    const = {"wenlan_table": jnp.asarray(table)}
+    logger.info("Data loaded.")
+
+    # step bookkeeping (reference train.py:138-143): stage-1 epochs run at
+    # 2× batch size, so fewer steps per epoch.
+    steps_1 = math.ceil(len(train_data) / (2 * tcfg.batch_size))
+    steps_2 = math.ceil(len(train_data) / tcfg.batch_size)
+    total_steps = (
+        steps_1 * curriculums[0]
+        + steps_2 * (curriculums[1] - curriculums[0])
+        + steps_2 * (tcfg.epochs - curriculums[1])
+    )
+    warmup = int(steps_1 * tcfg.warmup_epoch_ratio)
+    logger.info("Total training steps: %d", total_steps)
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    params = None
+    if args.gpt2_ckpt:
+        from mmtg_tpu.checkpoint import load_reference_checkpoint
+
+        logger.info("Loading pre-trained GPT2 model from %s...", args.gpt2_ckpt)
+        # phase-1 ckpt holds the decoder (GPT-2 + projectors); other params fresh
+        import torch
+
+        raw = torch.load(args.gpt2_ckpt, map_location="cpu", weights_only=False)
+        if "state_dict" in raw:
+            raw = raw["state_dict"]
+        from mmtg_tpu.checkpoint import import_hf_gpt2, strip_prefix, _linear
+
+        raw = strip_prefix(raw)
+        params = init_mmtg_params(key, mcfg)
+        gpt2_state = {k[len("gpt2."):]: v for k, v in raw.items() if k.startswith("gpt2.")}
+        params["gpt2"] = import_hf_gpt2(gpt2_state, mcfg.gpt2)
+        if "projector_layer1.weight" in raw:
+            params["projector1"] = _linear(raw, "projector_layer1")
+            params["projector2"] = _linear(raw, "projector_layer2")
+        logger.info("Pre-trained GPT2 model loaded.")
+
+    state, tx = create_train_state(key, mcfg, tcfg, warmup, total_steps, params)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(state.params))
+    logger.info("* number of parameters: %d", n_params)
+
+    start_epoch = 0
+    if args.resume and args.save_path:
+        from mmtg_tpu.checkpoint import restore_train_state
+
+        state, last_step = restore_train_state(
+            os.path.join(args.save_path, "orbax"), state
+        )
+        if last_step >= 0:
+            logger.info("Resumed from step %d", last_step)
+
+    mesh = make_mesh(
+        None
+        if args.mesh_data == 0
+        else (args.mesh_data, args.mesh_model)
+    )
+    with mesh:
+        state = TrainState(
+            shard_params(state.params, mesh), state.opt_state, state.step, state.rng
+        )
+        return _train_loop(
+            state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data,
+            curriculums, args, logger, mesh,
+        )
+
+
+def _train_loop(
+    state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data, curriculums,
+    args, logger, mesh,
+) -> float:
+    train_step = make_train_step(mcfg, dcfg, tcfg, tx)
+    eval_step = make_eval_step(mcfg, dcfg, tcfg)
+    timer = StepTimer()
+    best_val = float("inf")
+    val_loss = float("inf")
+    rng_np = np.random.default_rng(tcfg.seed)
+
+    for epoch in range(tcfg.epochs):
+        t1 = time.time()
+        stage = stage_for_epoch(epoch, curriculums)
+        # stage 1 runs 2× batch then filters (reference train.py:128-135)
+        bs = 2 * tcfg.batch_size if stage == 1 else tcfg.batch_size
+        vbs = 2 * tcfg.val_batch_size if stage == 1 else tcfg.val_batch_size
+        steps_per_epoch = math.ceil(len(train_data) / bs)
+        val_every = max(int(steps_per_epoch * tcfg.val_interval_ratio), 1)
+        logger.info("Epoch %d/%d (stage %d)", epoch + 1, tcfg.epochs, stage)
+
+        avg_loss, seen_steps = 0.0, 0
+        for step, batch in enumerate(train_data.batches(bs, shuffle=True, rng=rng_np)):
+            jb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            timer.start()
+            state, metrics = train_step(state, const, jb, jnp.asarray(stage))
+            jax.block_until_ready(metrics["total"])
+            timer.stop()
+            avg_loss += float(metrics["loss"])
+            seen_steps += 1
+            if step > 0 and (step + 1) % tcfg.log_interval == 0:
+                logger.info(
+                    "Epoch: %d, Step: %d/%d, Average loss: %.6f, "
+                    "p50 step: %.1f ms, samples/s: %.1f",
+                    epoch + 1, step + 1, steps_per_epoch,
+                    avg_loss / seen_steps, timer.p50_ms, timer.throughput(bs),
+                )
+            if step > 0 and (step + 1) % val_every == 0:
+                val_loss, _ = evaluate(
+                    eval_step, state.params, const, valid_data, vbs, stage
+                )
+                logger.info(
+                    "Epoch: %d, Step: %d/%d, Val. Loss: %.4f",
+                    epoch + 1, step + 1, steps_per_epoch, val_loss,
+                )
+                if val_loss < best_val:
+                    best_val = val_loss
+                    if args.save_model and args.save_path:
+                        _save(args.save_path, state, "best_val", logger)
+
+        val_loss, _ = evaluate(eval_step, state.params, const, valid_data, vbs, stage)
+        logger.info("End eval of epoch %d. Val. Loss: %.4f", epoch + 1, val_loss)
+        logger.info(
+            "Average loss: %.4f  Elapsed time: %s",
+            avg_loss / max(seen_steps, 1), format_time(time.time() - t1),
+        )
+        if args.save_model and args.save_path:
+            _save(args.save_path, state, f"epoch_{epoch + 1}", logger)
+
+    logger.info("Training finished.")
+    return val_loss
+
+
+def _save(save_path: str, state: TrainState, tag: str, logger) -> None:
+    from mmtg_tpu.checkpoint import save_train_state
+
+    os.makedirs(save_path, exist_ok=True)
+    save_train_state(
+        os.path.join(save_path, "orbax"), int(state.step), jax.device_get(state)
+    )
+    logger.info("Saved %s checkpoint at step %d to %s", tag, int(state.step), save_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Trainer: schedule parity vs transformers, step mechanics, overfit smoke,
+checkpoint resume round-trip."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtg_tpu.configs import TrainConfig
+from mmtg_tpu.models.mmtg import init_mmtg_params
+from mmtg_tpu.train import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_schedule,
+    make_train_step,
+    parse_curriculums,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    mcfg = request.getfixturevalue("tiny_model_cfg")
+    dcfg = request.getfixturevalue("tiny_data_cfg")
+    tokenizer = request.getfixturevalue("tokenizer")
+    from mmtg_tpu.data import MMTGDataset, make_synthetic_records
+
+    rng = np.random.default_rng(5)
+    records = make_synthetic_records(8, rng, emb_size=dcfg.wenlan_emb_size)
+    ds = MMTGDataset.from_records(records, tokenizer, dcfg, if_train=True)
+    batch = next(ds.batches(batch_size=8))
+    V = mcfg.gpt2.vocab_size
+    for k in ("topic_ids", "targets"):
+        batch[k] = np.minimum(batch[k], V - 1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    table = jax.random.normal(jax.random.PRNGKey(9), (V, dcfg.wenlan_emb_size))
+    return mcfg, dcfg, jb, {"wenlan_table": table}
+
+
+def test_schedule_matches_transformers():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    tcfg = TrainConfig(lr=1e-3)
+    warmup, total = 10, 100
+    sched = make_schedule(tcfg, warmup, total)
+
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(model.parameters(), lr=tcfg.lr)
+    ref = transformers.get_linear_schedule_with_warmup(opt, warmup, total)
+    for step in range(total):
+        ref_lr = opt.param_groups[0]["lr"]
+        ours = float(sched(step))
+        assert math.isclose(ours, ref_lr, rel_tol=1e-5, abs_tol=1e-9), (
+            step, ours, ref_lr,
+        )
+        ref.step()
+
+
+def test_train_step_decreases_loss(setup):
+    mcfg, dcfg, batch, const = setup
+    tcfg = TrainConfig(lr=3e-3, alpha=0.2)
+    state, tx = create_train_state(
+        jax.random.PRNGKey(0), mcfg, tcfg, warmup_steps=2, total_steps=200
+    )
+    train_step = make_train_step(mcfg, dcfg, tcfg, tx)
+    stage = jnp.asarray(3)
+    first = None
+    for i in range(12):
+        state, metrics = train_step(state, const, batch, stage)
+        if first is None:
+            first = float(metrics["total"])
+    assert int(state.step) == 12
+    assert float(metrics["total"]) < first
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_eval_deterministic(setup):
+    mcfg, dcfg, batch, const = setup
+    tcfg = TrainConfig()
+    state, _ = create_train_state(
+        jax.random.PRNGKey(1), mcfg, tcfg, warmup_steps=1, total_steps=10
+    )
+    eval_step = make_eval_step(mcfg, dcfg, tcfg)
+    a = eval_step(state.params, const, batch, jnp.asarray(2))
+    b = eval_step(state.params, const, batch, jnp.asarray(2))
+    assert float(a["total"]) == float(b["total"])
+
+
+def test_stage_changes_kept_count(setup):
+    mcfg, dcfg, batch, const = setup
+    tcfg = TrainConfig()
+    state, _ = create_train_state(
+        jax.random.PRNGKey(2), mcfg, tcfg, warmup_steps=1, total_steps=10
+    )
+    eval_step = make_eval_step(mcfg, dcfg, tcfg)
+    kept = [float(eval_step(state.params, const, batch, jnp.asarray(s))["kept"]) for s in (1, 2, 3)]
+    assert kept[0] <= kept[1] <= kept[2]
+    assert kept[2] == batch["rating"].shape[0]
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    mcfg, dcfg, batch, const = setup
+    from mmtg_tpu.checkpoint import restore_train_state, save_train_state
+
+    tcfg = TrainConfig()
+    state, tx = create_train_state(
+        jax.random.PRNGKey(3), mcfg, tcfg, warmup_steps=1, total_steps=10
+    )
+    train_step = make_train_step(mcfg, dcfg, tcfg, tx)
+    state, _ = train_step(state, const, batch, jnp.asarray(3))
+
+    save_train_state(str(tmp_path / "ck"), int(state.step), jax.device_get(state))
+    template, _ = create_train_state(
+        jax.random.PRNGKey(99), mcfg, tcfg, warmup_steps=1, total_steps=10
+    )
+    restored, step = restore_train_state(str(tmp_path / "ck"), template)
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training continues identically
+    s1, m1 = train_step(state, const, batch, jnp.asarray(3))
+    s2, m2 = train_step(
+        TrainState(restored.params, restored.opt_state, restored.step, restored.rng),
+        const, batch, jnp.asarray(3),
+    )
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-6)
+
+
+def test_parse_curriculums():
+    assert parse_curriculums("[1,3]") == (1, 3)
+    assert parse_curriculums("1,3") == (1, 3)
+    with pytest.raises(ValueError):
+        parse_curriculums("1")
