@@ -78,13 +78,15 @@ def main() -> None:
     B = args.batch
     batch = make_batch(B)
     key = jax.random.PRNGKey(1)
-    toks = jax.block_until_ready(generate(params, const, mcfg, dcfg, gcfg, batch, key))
+    # NOTE: sync via a device->host scalar transfer — on the experimental
+    # axon platform block_until_ready returns at dispatch, not completion.
+    float(jnp.sum(generate(params, const, mcfg, dcfg, gcfg, batch, key)))
     t0 = time.perf_counter()
     runs = 3
     for i in range(runs):
         toks = generate(params, const, mcfg, dcfg, gcfg, batch,
                         jax.random.fold_in(key, i))
-    jax.block_until_ready(toks)
+        float(jnp.sum(toks))
     dt = (time.perf_counter() - t0) / runs
     tokens_per_sec = B * gcfg.length / dt
 
@@ -114,14 +116,14 @@ def main() -> None:
 
         ustep = jax.jit(uncached_step)
         tokens = jnp.zeros((1, T), jnp.int32).at[:, 0].set(SP.start_id)
-        # warmup compile
-        jax.block_until_ready(ustep(params, const, tokens, jnp.asarray(1), key))
+        # warmup compile (sync via host transfer, see above)
+        float(jnp.sum(ustep(params, const, tokens, jnp.asarray(1), key)))
         t0 = time.perf_counter()
         for i in range(n_base):
             nxt = ustep(params, const, tokens, jnp.asarray(i + 1),
                         jax.random.fold_in(key, i))
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-        jax.block_until_ready(tokens)
+        float(jnp.sum(tokens))
         base_dt = time.perf_counter() - t0
         base_tps = n_base / base_dt
         vs_baseline = tokens_per_sec / base_tps

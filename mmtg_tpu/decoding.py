@@ -125,7 +125,7 @@ def generate(
     win = dcfg.two_sents_length
     T_steps = fused.shape[1]
 
-    def step(carry, i):
+    def step(carry, i, window):
         cache, key_mask, tokens, seen, last_logits = carry
         # --- choose token for target position j = i + 1 ---
         is_forced, forced_id = frame_forced_token(i, dcfg.sent_frame_length)
@@ -156,14 +156,17 @@ def generate(
         not_pad = (tok != SPECIAL.pad_id).astype(jnp.int32)
         key_mask = jax.lax.dynamic_update_slice(key_mask, not_pad[:, None], (0, P + j))
         logits, cache = gpt2_decode_step(
-            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask
+            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask, window=window
         )
         return (cache, key_mask, tokens, seen, logits), None
 
-    init = (cache, key_mask, tokens, seen, prefill_logits[:, -1])
-    (cache, key_mask, tokens, seen, _), _ = jax.lax.scan(
-        step, init, jnp.arange(length)
-    )
+    # Single scan over all steps at full window. (A static-window segmented
+    # variant was measured slower — XLA materializes the cache prefix slice
+    # as a copy instead of narrowing the reads; true dynamic-length reads
+    # live in the Pallas decode-attention kernel.)
+    carry = (cache, key_mask, tokens, seen, prefill_logits[:, -1])
+    carry, _ = jax.lax.scan(partial(step, window=None), carry, jnp.arange(length))
+    (cache, key_mask, tokens, seen, _) = carry
     return tokens
 
 

@@ -192,6 +192,7 @@ def gpt2_decode_step(
     position: jnp.ndarray,
     token_type_id: jnp.ndarray,
     key_mask: jnp.ndarray,
+    window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token KV-cached decode step.
 
@@ -204,30 +205,47 @@ def gpt2_decode_step(
       key_mask: ``[B, T_max]`` 1/0 — which cache slots are attendable
         (positions ≤ current AND not padding, per the reference's rebuilt
         inference mask ``model.py:309-312``).
+      window: static attention window — only cache slots ``[0, window)``
+        are read. Must satisfy ``window > position``. The segmented decode
+        loop grows this as generation advances so early steps don't stream
+        the whole (empty) cache from HBM.
     Returns:
       (logits ``[B, V]``, updated cache).
     """
     B, D = x_embed.shape
     n_head, hd = cfg.n_head, cfg.head_dim
+    W = cache.capacity if window is None else window
     h = (
         x_embed
         + params["wpe"][position]
         + jnp.take(params["wte"], token_type_id, axis=0)
     )
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, h.dtype))
-    bias = (1.0 - key_mask.astype(h.dtype)) * NEG_INF  # [B, T_max]
+    bias = (1.0 - key_mask[:, :W].astype(h.dtype)) * NEG_INF  # [B, W]
 
-    def block(carry, xs):
-        h = carry
-        lp, k_cache, v_cache = xs  # k_cache/v_cache: [B, H, T_max, hd]
+    # fori_loop (not scan) over layers: scan would emit the updated cache as
+    # freshly-allocated stacked ys — a full multi-GB cache copy per decode
+    # step. With a fori_loop carry + dynamic_update_slice, XLA keeps the
+    # cache in place; per-step HBM traffic is one cache READ, not
+    # read+rewrite.
+    def layer(l, carry):
+        h, k_full, v_full = carry  # k/v_full: [L, B, H, T_max, hd]
+        lp = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
+            params["h"],
+        )
         a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
         qkv = a @ lp["attn_w"] + lp["attn_b"]  # [B, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, n_head, hd)
-        k = k.reshape(B, n_head, 1, hd)
-        v = v.reshape(B, n_head, 1, hd)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, position, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, position, 0))
+        k = k.reshape(1, B, n_head, 1, hd)
+        v = v.reshape(1, B, n_head, 1, hd)
+        k_full = jax.lax.dynamic_update_slice(k_full, k, (l, 0, 0, position, 0))
+        v_full = jax.lax.dynamic_update_slice(v_full, v, (l, 0, 0, position, 0))
+        k_cache = jax.lax.dynamic_index_in_dim(k_full, l, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_full, l, 0, keepdims=False)
+        k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=2)
+        v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=2)
         scores = jnp.einsum(
             "bhd,bhkd->bhk", q, k_cache, preferred_element_type=jnp.float32
         ).astype(h.dtype) * scale
@@ -237,9 +255,11 @@ def gpt2_decode_step(
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
         m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
         h = h + m @ lp["mlp_proj_w"] + lp["mlp_proj_b"]
-        return h, (k_cache, v_cache)
+        return h, k_full, v_full
 
-    h, (new_k, new_v) = jax.lax.scan(block, h, (params["h"], cache.k, cache.v))
+    h, new_k, new_v = jax.lax.fori_loop(
+        0, cfg.n_layer, layer, (h, cache.k, cache.v)
+    )
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
     logits = h @ params["wte"].T
     return logits, KVCache(new_k, new_v)

@@ -84,6 +84,17 @@ def top_k_top_p_filter(
     return logits
 
 
+def _nucleus_mask_sorted(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Keep-first nucleus mask over descending-sorted logits
+    (``generate.py:82-90``); returns masked sorted logits."""
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove = cum_probs > top_p
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+    )
+    return jnp.where(remove, NEG_INF, sorted_logits)
+
+
 def sample_next_token(
     key: jax.Array,
     logits: jnp.ndarray,
@@ -96,6 +107,12 @@ def sample_next_token(
 ) -> jnp.ndarray:
     """One full sampling step over a batch (``generate.py:124-142`` order).
 
+    With ``top_k > 0`` the whole filter+draw happens in the ``[B, k]``
+    top-k subspace: every non-top-k logit is already -inf, so the nucleus
+    mask and the categorical draw over the k candidates induce exactly
+    the softmax-of-filtered-logits distribution — without the per-step
+    full-vocab argsort (the decode-loop hot spot at 13317×B).
+
     Args:
       logits: ``[B, V]`` next-token logits.
       seen_mask: ``[B, V]`` tokens generated so far (incl. prompt).
@@ -107,8 +124,16 @@ def sample_next_token(
         logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
     logits = logits / temperature
     logits = ban_tokens(logits)
-    filtered = top_k_top_p_filter(logits, top_k=top_k, top_p=top_p)
-    sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+    if top_k > 0:
+        k = min(top_k, logits.shape[-1])
+        vals, idx = jax.lax.top_k(logits, k)  # descending, ties by index
+        if top_p > 0.0:
+            vals = _nucleus_mask_sorted(vals, top_p)
+        j = jax.random.categorical(key, vals, axis=-1)
+        sampled = jnp.take_along_axis(idx, j[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    else:
+        filtered = top_k_top_p_filter(logits, top_k=top_k, top_p=top_p)
+        sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
     return jnp.where(last_token == SPECIAL.pad_id, SPECIAL.pad_id, sampled)
 
 

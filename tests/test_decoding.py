@@ -193,3 +193,19 @@ def test_postprocess(tokenizer):
     ids += [tokenizer.sep_token_id]
     s = postprocess_tokens(ids, tokenizer)
     assert s == "青山一道，明月何曾"
+
+
+def test_topk_subspace_sampling_distribution(rng):
+    """The [B,k]-subspace draw must induce exactly the softmax of the
+    full filtered logits (same distribution as the reference pipeline)."""
+    from mmtg_tpu.ops.sampling import _nucleus_mask_sorted
+
+    B, V, k, p = 3, 50, 8, 0.7
+    logits = jnp.asarray(rng.standard_normal((B, V)).astype(np.float32) * 3)
+    full = jax.nn.softmax(top_k_top_p_filter(logits, top_k=k, top_p=p), axis=-1)
+
+    vals, idx = jax.lax.top_k(logits, k)
+    vals = _nucleus_mask_sorted(vals, p)
+    sub = jax.nn.softmax(vals, axis=-1)
+    scattered = jnp.zeros((B, V)).at[jnp.arange(B)[:, None], idx].set(sub)
+    np.testing.assert_allclose(np.asarray(scattered), np.asarray(full), atol=1e-6)
