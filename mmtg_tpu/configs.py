@@ -183,3 +183,6 @@ class GenerateConfig:
     # per-sentence scheme the reference rebuilds at inference
     # (model.py:296-306). See SURVEY.md §3.3 for the inconsistency.
     type_id_scheme: str = "train"
+    # decode attention: 'auto' → Pallas dynamic-length kernel on TPU,
+    # XLA masked softmax elsewhere; or force 'pallas' / 'xla'.
+    attn_impl: str = "auto"

@@ -81,7 +81,13 @@ def generate(
     P = dcfg.topic_prompt_length
     V = mcfg.gpt2.vocab_size
     length = gcfg.length
-    capacity = _round_up(P + length + 1, 64)
+    capacity = _round_up(P + length + 1, 128)
+    attn_impl = gcfg.attn_impl
+    if attn_impl == "auto":
+        # 'axon' is the remote-TPU platform name on tunneled single chips
+        attn_impl = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        )
 
     # ---- encoder runs ONCE (the reference re-runs it per token) ----------
     fused, _ = encode_experiences(
@@ -156,7 +162,8 @@ def generate(
         not_pad = (tok != SPECIAL.pad_id).astype(jnp.int32)
         key_mask = jax.lax.dynamic_update_slice(key_mask, not_pad[:, None], (0, P + j))
         logits, cache = gpt2_decode_step(
-            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask, window=window
+            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask,
+            window=window, attn_impl=attn_impl,
         )
         return (cache, key_mask, tokens, seen, logits), None
 

@@ -31,16 +31,23 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, H, T_max, head_dim]
-    v: jnp.ndarray  # [L, B, H, T_max, head_dim]
+    """Fixed-capacity KV cache, laid out ``[L, B, T_max, D]`` with the head
+    dim merged into D = H·hd: time-tile slices are then single contiguous
+    DMA runs for the Pallas decode-attention kernel, and the per-step
+    write is one contiguous D-row per sample. (Layouts with hd=64 as the
+    trailing dim get lane-padded to 128 by Mosaic and rejected for
+    slicing; ``[.., hd, T]`` layouts degrade DMA to 256-byte runs.)"""
+
+    k: jnp.ndarray  # [L, B, T_max, D]
+    v: jnp.ndarray  # [L, B, T_max, D]
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2]
 
 
 def init_cache(cfg: GPT2Config, batch: int, capacity: int, dtype=jnp.float32) -> KVCache:
-    shape = (cfg.n_layer, batch, cfg.n_head, capacity, cfg.head_dim)
+    shape = (cfg.n_layer, batch, capacity, cfg.n_embd)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -193,6 +200,7 @@ def gpt2_decode_step(
     token_type_id: jnp.ndarray,
     key_mask: jnp.ndarray,
     window: Optional[int] = None,
+    attn_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token KV-cached decode step.
 
@@ -209,6 +217,9 @@ def gpt2_decode_step(
         are read. Must satisfy ``window > position``. The segmented decode
         loop grows this as generation advances so early steps don't stream
         the whole (empty) cache from HBM.
+      attn_impl: "xla" (masked softmax over the full window) or "pallas"
+        (dynamic-length tile reads via
+        :func:`mmtg_tpu.ops.decode_attention.decode_attention`).
     Returns:
       (logits ``[B, V]``, updated cache).
     """
@@ -229,7 +240,7 @@ def gpt2_decode_step(
     # cache in place; per-step HBM traffic is one cache READ, not
     # read+rewrite.
     def layer(l, carry):
-        h, k_full, v_full = carry  # k/v_full: [L, B, H, T_max, hd]
+        h, k_full, v_full = carry  # k/v_full: [L, B, T_max, D]
         lp = jax.tree.map(
             lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
             params["h"],
@@ -237,20 +248,33 @@ def gpt2_decode_step(
         a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
         qkv = a @ lp["attn_w"] + lp["attn_b"]  # [B, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, n_head, hd)
-        k = k.reshape(1, B, n_head, 1, hd)
-        v = v.reshape(1, B, n_head, 1, hd)
-        k_full = jax.lax.dynamic_update_slice(k_full, k, (l, 0, 0, position, 0))
-        v_full = jax.lax.dynamic_update_slice(v_full, v, (l, 0, 0, position, 0))
-        k_cache = jax.lax.dynamic_index_in_dim(k_full, l, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_full, l, 0, keepdims=False)
-        k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=2)
-        v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=2)
-        scores = jnp.einsum(
-            "bhd,bhkd->bhk", q, k_cache, preferred_element_type=jnp.float32
-        ).astype(h.dtype) * scale
-        probs = jax.nn.softmax(scores + bias[:, None, :], axis=-1)
-        ctx = jnp.einsum("bhk,bhkd->bhd", probs, v_cache).reshape(B, -1)
+        k_full = jax.lax.dynamic_update_slice(
+            k_full, k.reshape(1, B, 1, D), (l, 0, position, 0)
+        )
+        v_full = jax.lax.dynamic_update_slice(
+            v_full, v.reshape(1, B, 1, D), (l, 0, position, 0)
+        )
+        if attn_impl == "pallas":
+            from mmtg_tpu.ops.decode_attention import decode_attention
+
+            ctx = decode_attention(
+                q, k_full, v_full, key_mask, position, l, n_head=n_head
+            )
+        else:
+            qh = q.reshape(B, n_head, hd)
+            k_cache = jax.lax.dynamic_index_in_dim(k_full, l, 0, keepdims=False)
+            v_cache = jax.lax.dynamic_index_in_dim(v_full, l, 0, keepdims=False)
+            k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=1).reshape(
+                B, W, n_head, hd
+            )
+            v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=1).reshape(
+                B, W, n_head, hd
+            )
+            scores = jnp.einsum(
+                "bhd,bthd->bht", qh, k_cache, preferred_element_type=jnp.float32
+            ).astype(h.dtype) * scale
+            probs = jax.nn.softmax(scores + bias[:, None, :], axis=-1)
+            ctx = jnp.einsum("bht,bthd->bhd", probs, v_cache).reshape(B, D)
         h = h + ctx @ lp["attn_proj_w"] + lp["attn_proj_b"]
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
         m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
@@ -287,9 +311,12 @@ def prefill_cache(
         deterministic=True,
         return_kv=True,
     )
-    k, v = kv  # each [L, B, H, T, hd]
-    T = k.shape[3]
-    pad = [(0, 0), (0, 0), (0, 0), (0, capacity - T), (0, 0)]
+    k, v = kv  # each [L, B, H, T, hd] from the full forward
+    L_, B_, H_, T, hd_ = k.shape
+    # → [L, B, T, D] cache layout (merge heads into lanes)
+    k = k.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, H_ * hd_)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, H_ * hd_)
+    pad = [(0, 0), (0, 0), (0, capacity - T), (0, 0)]
     return logits, KVCache(jnp.pad(k, pad), jnp.pad(v, pad))
 
 

@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: single-token decode attention with dynamic-length
+cache reads.
+
+The XLA decode path must attend over the cache's full static capacity
+every step — at step t only t+1 slots are live, so a large share of the
+HBM traffic (the decode bottleneck) streams dead slots. This kernel takes
+the current ``position`` and layer index as scalar-prefetch arguments and
+DMAs only ``ceil((position+1)/TILE)`` cache tiles, flash-accumulating
+across tiles with double-buffered loads.
+
+Layout and lowering notes (each learned from a Mosaic rejection or a
+bandwidth measurement):
+  * the cache is ``[L, B, T, D]`` with the head dim merged into lanes
+    (D = H·hd = 768): a time-tile slice ``[bB, TS, 768]`` is a single
+    96KB-contiguous DMA run per row — ``[.., hd, T]`` layouts degrade to
+    256-byte runs (~6× bandwidth loss), and ``[.., T, hd=64]`` layouts
+    get lane-padded to 128 and rejected for slicing;
+  * per-head score/weighted-sum separation uses an on-the-fly segment
+    matrix (``SEG[i, h] = i//hd == h``) on the MXU: scores =
+    ``(q·K_tile) @ SEG`` and the probability expansion is ``p @ SEGᵀ`` —
+    no lane-group reshapes (Mosaic relayouts) anywhere;
+  * two-batch-dim dot_generals don't lower; everything here is a single
+    batch dim or elementwise;
+  * the pad mask is DMA'd per tile as an additive f32 bias (dynamic
+    lane-dim vector slices must be 128-aligned; DMA takes any stride);
+  * the whole stacked cache is passed in and the layer picked inside the
+    DMA index — an XLA-side ``cache[l]`` would copy a full layer per call.
+
+Numerics: scores/softmax accumulate in float32; output in the query dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    scalar_ref,  # scalar prefetch: [2] int32 (position, layer)
+    q_ref,  # [bB, D] VMEM (already merged heads, pre-scaled)
+    k_hbm,  # [L, B, T, D] HBM
+    v_hbm,  # [L, B, T, D] HBM
+    bias_hbm,  # [B, T] f32 HBM: 0 live, NEG_INF on PAD slots
+    ctx_ref,  # [bB, D] VMEM out (merged heads)
+    k_tile,  # [2, bB, TS, D] VMEM scratch (double buffer)
+    v_tile,
+    bias_tile,  # [2, bB, TS] f32 VMEM scratch
+    sems,  # DMA semaphores [2, 3]
+    *,
+    bB: int,
+    TS: int,
+    n_head: int,
+):
+    pos = scalar_ref[0]
+    layer = scalar_ref[1]
+    b0 = pl.program_id(0) * bB
+    num_tiles = pos // TS + 1
+    D = q_ref.shape[1]
+    hd = D // n_head
+
+    def copy(ref, dst, t, slot, sem_idx):
+        return pltpu.make_async_copy(
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS), :],
+            dst.at[slot],
+            sems.at[slot, sem_idx],
+        )
+
+    def bias_copy(t, slot):
+        return pltpu.make_async_copy(
+            bias_hbm.at[pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            bias_tile.at[slot],
+            sems.at[slot, 2],
+        )
+
+    k_copy = lambda t, s: copy(k_hbm, k_tile, t, s, 0)
+    v_copy = lambda t, s: copy(v_hbm, v_tile, t, s, 1)
+
+    # warm up buffer 0
+    k_copy(0, 0).start()
+    v_copy(0, 0).start()
+    bias_copy(0, 0).start()
+
+    q = q_ref[:].astype(jnp.float32)  # [bB, D]
+    # Head-segment matrix SEG[i, h] = (i // hd == h), built from iota.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
+    seg = (lane // hd == head).astype(jnp.float32)  # [D, H]
+
+    def body(t, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            k_copy(t + 1, nxt).start()
+            v_copy(t + 1, nxt).start()
+            bias_copy(t + 1, nxt).start()
+
+        k_copy(t, slot).wait()
+        v_copy(t, slot).wait()
+        bias_copy(t, slot).wait()
+        k = k_tile[slot].astype(jnp.float32)  # [bB, TS, D]
+        v = v_tile[slot].astype(jnp.float32)
+
+        prod = q[:, None, :] * k  # [bB, TS, D]
+        s = jax.lax.dot_general(
+            prod, seg, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bB, TS, H]
+        s = s + bias_tile[slot][:, :, None]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TS
+        s = jnp.where(row <= pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))  # [bB,1,H]
+        corr = jnp.exp(m - m_new)  # [bB, 1, H]
+        p = jnp.exp(s - m_new)  # [bB, TS, H]
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        pe = jax.lax.dot_general(
+            p, seg.T, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bB, TS, D]
+        corr_lanes = jax.lax.dot_general(
+            corr[:, 0, :], seg.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bB, D]
+        acc_new = acc * corr_lanes + jnp.sum(pe * v, axis=1)
+        return m_new, l_new, acc_new
+
+    H = n_head
+    m0 = jnp.full((bB, 1, H), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bB, 1, H), jnp.float32)
+    a0 = jnp.zeros((bB, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_tiles, body, (m0, l0, a0))
+    l_lanes = jax.lax.dot_general(
+        l[:, 0, :], seg.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bB, D]
+    ctx_ref[:] = (acc / l_lanes).astype(ctx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "block_b", "tile_t", "interpret")
+)
+def decode_attention(
+    q: jnp.ndarray,  # [B, D] merged heads
+    k_cache: jnp.ndarray,  # [L, B, T, D]
+    v_cache: jnp.ndarray,  # [L, B, T, D]
+    key_mask: jnp.ndarray,  # [B, T] int32
+    position: jnp.ndarray,  # scalar int32
+    layer: jnp.ndarray,  # scalar int32
+    n_head: int = 12,
+    block_b: int = 16,
+    # 128: dynamic lane-dim DMA slices (the bias tile) must be 128-aligned
+    tile_t: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention of one query token over layer ``layer``'s live cache
+    prefix; returns the merged-head context ``[B, D]``.
+
+    Slots with index > ``position`` or ``key_mask == 0`` are ignored;
+    tiles beyond ``position // tile_t`` are never read from HBM.
+    """
+    L, B, T, D = k_cache.shape
+    hd = D // n_head
+    if B % block_b != 0:
+        block_b = math.gcd(B, block_b)
+    if T % tile_t != 0:
+        raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
+    scale = 1.0 / math.sqrt(hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, D), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # k cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # v cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # pad bias stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, D), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_b, tile_t, D), k_cache.dtype),
+            pltpu.VMEM((2, block_b, tile_t, D), v_cache.dtype),
+            pltpu.VMEM((2, block_b, tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    kernel = functools.partial(_kernel, bB=block_b, TS=tile_t, n_head=n_head)
+    pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
+    scalars = jnp.stack([position.astype(jnp.int32), layer.astype(jnp.int32)])
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D), q.dtype),
+        interpret=interpret,
+    )(scalars, (q * scale).astype(q.dtype), k_cache, v_cache, pad_bias)

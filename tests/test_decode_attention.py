@@ -1,0 +1,80 @@
+"""Pallas decode-attention kernel vs the XLA masked-softmax oracle
+(interpret mode on the CPU test mesh; the real TPU path is exercised by
+bench.py and the generation CLIs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtg_tpu.ops.decode_attention import decode_attention
+
+L, B, T, NH, HD = 3, 8, 256, 4, 32
+D = NH * HD
+
+
+def _oracle(q, k, v, key_mask, position, layer):
+    scale = 1.0 / np.sqrt(HD)
+    kl = k[layer].reshape(B, T, NH, HD).astype(jnp.float32)
+    vl = v[layer].reshape(B, T, NH, HD).astype(jnp.float32)
+    qh = q.reshape(B, NH, HD).astype(jnp.float32)
+    s = jnp.einsum("bhd,bthd->bht", qh, kl) * scale
+    col = jnp.arange(T)[None, None, :]
+    valid = (col <= position) & (key_mask[:, None, :] != 0)
+    s = jnp.where(valid, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bht,bthd->bhd", p, vl)
+    return ctx.reshape(B, D).astype(q.dtype)
+
+
+@pytest.fixture(scope="module")
+def tensors():
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, D), jnp.float32)
+    k = jax.random.normal(ks[1], (L, B, T, D), jnp.float32)
+    v = jax.random.normal(ks[2], (L, B, T, D), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("position", [0, 5, 63, 64, 200, 255])
+@pytest.mark.parametrize("layer", [0, 2])
+def test_kernel_matches_oracle(position, layer, tensors, rng):
+    q, k, v = tensors
+    mask = jnp.asarray(rng.integers(0, 2, (B, T)), jnp.int32).at[:, 0].set(1)
+    out = decode_attention(
+        q, k, v, mask, jnp.asarray(position), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    ref = _oracle(q, k, v, mask, position, layer)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_ignores_garbage_beyond_position(tensors):
+    """Slots past `position` must not influence the result even when they
+    contain huge values (they are either masked or never read)."""
+    q, k, v = tensors
+    mask = jnp.ones((B, T), jnp.int32)
+    pos = 30
+    args = dict(n_head=NH, tile_t=64, interpret=True)
+    out_clean = decode_attention(
+        q, k, v, mask, jnp.asarray(pos), jnp.asarray(1), **args
+    )
+    k_dirty = k.at[:, :, pos + 1 :, :].set(1e4)
+    v_dirty = v.at[:, :, pos + 1 :, :].set(-1e4)
+    out_dirty = decode_attention(
+        q, k_dirty, v_dirty, mask, jnp.asarray(pos), jnp.asarray(1), **args
+    )
+    np.testing.assert_allclose(np.asarray(out_clean), np.asarray(out_dirty))
+
+
+def test_bf16(tensors):
+    q, k, v = (t.astype(jnp.bfloat16) for t in tensors)
+    mask = jnp.ones((B, T), jnp.int32)
+    out = decode_attention(
+        q, k, v, mask, jnp.asarray(90), jnp.asarray(0), n_head=NH,
+        tile_t=64, interpret=True,
+    )
+    ref = _oracle(q, k, v, mask, 90, 0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
