@@ -42,7 +42,7 @@ def encode_topic(
 ) -> Tuple[List[int], List[int], List[int]]:
     """Tokenize the topic prompt (reference ``MyDataset.py:62-78``)."""
     prompt = "主题词：" + topic_words  # "Topic words: ..."
-    ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(prompt))
+    ids = tokenizer.encode(prompt)
     n = cfg.topic_prompt_length
     ids = ids[:n]
     mask = [1] * len(ids)
@@ -66,33 +66,35 @@ def encode_lyrics(
 ) -> Tuple[List[int], List[int], List[int]]:
     """Frame lyric sentences into the 22-token grid
     (reference ``MyDataset.py:81-118``)."""
-    all_tokens: List[str] = []
+    start_id = tokenizer.convert_tokens_to_ids("[#START#]")
+    eos_id = tokenizer.convert_tokens_to_ids("[#EOS#]")
+    all_ids: List[int] = []
     mask: List[int] = []
     type_ids: List[int] = []
     for i in range(0, len(lyrics), 2):  # sentence pairs
         for sent in lyrics[i : i + 2]:
-            tokens = ["[#START#]"]
+            ids = [start_id]
             mask.append(1)
             type_ids.append(0)
-            content = tokenizer.tokenize(_scrub(sent))[: cfg.max_sent_length]
-            tokens.extend(content)
+            content = tokenizer.encode(_scrub(sent))[: cfg.max_sent_length]
+            ids.extend(content)
             mask += [1] * len(content)
             if i == 8:  # call-back: 5th pair shares type 1 with the 1st
                 type_ids += [1] * len(content)
             else:
                 type_ids += [i // 2 + 1] * len(content)
-            while len(tokens) < cfg.max_sent_length + 1:
-                tokens.append(tokenizer.pad_token)
+            while len(ids) < cfg.max_sent_length + 1:
+                ids.append(tokenizer.pad_token_id)
                 mask.append(0)
                 type_ids.append(0)
-            tokens.append("[#EOS#]")
+            ids.append(eos_id)
             mask.append(1)
             type_ids.append(0)
-            all_tokens += tokens
-    all_tokens.append(tokenizer.sep_token)
+            all_ids += ids
+    all_ids.append(tokenizer.sep_token_id)
     mask.append(1)
     type_ids.append(0)
-    return tokenizer.convert_tokens_to_ids(all_tokens), mask, type_ids
+    return all_ids, mask, type_ids
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""ctypes bindings for the native (C++) WordPiece tokenizer.
+
+Loads ``native/libwordpiece.so`` (building it with ``make`` on first use
+if a toolchain is available) and exposes a tokenizer with the same id
+output as :class:`mmtg_tpu.tokenizer.WordPieceTokenizer`. Falls back
+cleanly: :func:`load_native_tokenizer` returns ``None`` when the library
+can't be built/loaded, and callers keep using the pure-Python tokenizer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libwordpiece.so")
+
+
+def _ensure_lib() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_LIB_PATH):
+        if not os.path.isdir(_NATIVE_DIR):
+            return None
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.c_char_p]
+    lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_tokenize_ids.restype = ctypes.c_int32
+    lib.wp_tokenize_ids.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.wp_vocab_size.restype = ctypes.c_int32
+    lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class NativeWordPiece:
+    """Thin handle over the C++ tokenizer; produces token *ids* directly."""
+
+    def __init__(self, lib: ctypes.CDLL, handle: int):
+        self._lib = lib
+        self._h = handle
+        self._buf = (ctypes.c_int32 * 4096)()
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.wp_free(self._h)
+        except Exception:
+            pass
+
+    @property
+    def vocab_size(self) -> int:
+        return self._lib.wp_vocab_size(self._h)
+
+    def tokenize_to_ids(self, text: str) -> List[int]:
+        n = self._lib.wp_tokenize_ids(
+            self._h, text.encode("utf-8"), self._buf, len(self._buf)
+        )
+        if n < 0:
+            raise RuntimeError("native tokenizer handle invalid")
+        return list(self._buf[:n])
+
+
+def load_native_tokenizer(vocab_path: str) -> Optional[NativeWordPiece]:
+    """Best-effort load; ``None`` means use the pure-Python tokenizer."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    handle = lib.wp_create(vocab_path.encode("utf-8"))
+    if not handle:
+        return None
+    return NativeWordPiece(lib, handle)

@@ -79,14 +79,37 @@ class WordPieceTokenizer:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def from_file(cls, vocab_path: str, **kw) -> "WordPieceTokenizer":
+    def from_file(
+        cls, vocab_path: str, use_native: bool = True, **kw
+    ) -> "WordPieceTokenizer":
         vocab: Dict[str, int] = {}
         with open(vocab_path, encoding="utf-8") as f:
             for idx, line in enumerate(f):
                 token = line.rstrip("\n")
                 if token:
                     vocab[token] = idx
-        return cls(vocab, **kw)
+        tk = cls(vocab, **kw)
+        if use_native:
+            # best-effort C++ fast path for dataset packing (id-parity
+            # tested); None → pure-python pipeline
+            try:
+                from mmtg_tpu.native import load_native_tokenizer
+
+                tk.native = load_native_tokenizer(vocab_path)
+            except Exception:
+                tk.native = None
+        return tk
+
+    # -- fast encode (native when available) --------------------------------
+
+    native = None
+
+    def encode(self, text: str) -> List[int]:
+        """``convert_tokens_to_ids(tokenize(text))``, via the native C++
+        tokenizer when loaded."""
+        if self.native is not None:
+            return self.native.tokenize_to_ids(text)
+        return self.convert_tokens_to_ids(self.tokenize(text))
 
     # -- id helpers (HF-compatible surface) --------------------------------
 
