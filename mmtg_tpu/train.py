@@ -276,24 +276,37 @@ def main(argv=None) -> float:
     key = jax.random.PRNGKey(tcfg.seed)
     params = None
     if args.gpt2_ckpt:
-        from mmtg_tpu.checkpoint import load_reference_checkpoint
-
         logger.info("Loading pre-trained GPT2 model from %s...", args.gpt2_ckpt)
-        # phase-1 ckpt holds the decoder (GPT-2 + projectors); other params fresh
-        import torch
-
-        raw = torch.load(args.gpt2_ckpt, map_location="cpu", weights_only=False)
-        if "state_dict" in raw:
-            raw = raw["state_dict"]
-        from mmtg_tpu.checkpoint import import_hf_gpt2, strip_prefix, _linear
-
-        raw = strip_prefix(raw)
         params = init_mmtg_params(key, mcfg)
-        gpt2_state = {k[len("gpt2."):]: v for k, v in raw.items() if k.startswith("gpt2.")}
-        params["gpt2"] = import_hf_gpt2(gpt2_state, mcfg.gpt2)
-        if "projector_layer1.weight" in raw:
-            params["projector1"] = _linear(raw, "projector_layer1")
-            params["projector2"] = _linear(raw, "projector_layer2")
+        if os.path.isdir(args.gpt2_ckpt):
+            # our phase-1 Orbax checkpoint (mmtg_tpu.pretrain)
+            from mmtg_tpu.checkpoint import restore_train_state
+            from mmtg_tpu.models.gpt2 import init_gpt2_params
+
+            template = {"gpt2": init_gpt2_params(key, mcfg.gpt2)}
+            restored, step = restore_train_state(args.gpt2_ckpt, template)
+            if step < 0:
+                raise FileNotFoundError(f"no checkpoint under {args.gpt2_ckpt}")
+            params["gpt2"] = restored["gpt2"]
+        else:
+            # reference phase-1 torch ckpt: GPT2_Decoder state dict
+            # (gpt2 + projectors), optionally 'state_dict'-wrapped
+            # (reference model.py:345-354)
+            import torch
+
+            from mmtg_tpu.checkpoint import _linear, import_hf_gpt2, strip_prefix
+
+            raw = torch.load(args.gpt2_ckpt, map_location="cpu", weights_only=False)
+            if "state_dict" in raw:
+                raw = raw["state_dict"]
+            raw = strip_prefix(raw)
+            gpt2_state = {
+                k[len("gpt2."):]: v for k, v in raw.items() if k.startswith("gpt2.")
+            }
+            params["gpt2"] = import_hf_gpt2(gpt2_state, mcfg.gpt2)
+            if "projector_layer1.weight" in raw:
+                params["projector1"] = _linear(raw, "projector_layer1")
+                params["projector2"] = _linear(raw, "projector_layer2")
         logger.info("Pre-trained GPT2 model loaded.")
 
     state, tx = create_train_state(key, mcfg, tcfg, warmup, total_steps, params)
