@@ -118,7 +118,7 @@ def main() -> None:
         )
 
     if 3 in wanted:  # full train step, batch 256
-        tcfg = TrainConfig(alpha=0.2)
+        tcfg = TrainConfig(alpha=0.2, dtype=args.dtype)
         state, tx = create_train_state(
             jax.random.PRNGKey(2), mcfg, tcfg, 10, 1000,
             params=init_mmtg_params(jax.random.PRNGKey(0), mcfg),

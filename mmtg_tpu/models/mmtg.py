@@ -209,6 +209,7 @@ def mmtg_forward_train(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     compute_lm_loss: bool = False,
+    remat: bool = False,
 ) -> MMTGOutput:
     """Teacher-forced forward (reference ``MMTG.forward`` with
     ``train_flag=True`` — ``model.py:356-400`` + decoder train branch
@@ -250,6 +251,7 @@ def mmtg_forward_train(
         attn_mask,
         dropout_rng=dec_key,
         deterministic=deterministic,
+        remat=remat,
     )
 
     lm_loss = None

@@ -107,14 +107,26 @@ def loss_and_metrics(
 ):
     """total = unlikelihood(curriculum-masked) + alpha·KL
     (reference ``train.py:191-192``)."""
+    if tcfg.dtype == "bfloat16":
+        # mixed precision: f32 master params/optimizer, bf16 compute
+        # (the cast is differentiable → gradients land back in f32);
+        # the loss itself always reduces in f32.
+        cast = lambda x: (
+            x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        )
+        fwd_params = jax.tree.map(cast, params)
+        fwd_const = jax.tree.map(cast, const)
+    else:
+        fwd_params, fwd_const = params, const
     out = mmtg_forward_train(
-        params,
-        const,
+        fwd_params,
+        fwd_const,
         mcfg,
         dcfg,
         batch,
         dropout_rng=dropout_rng,
         deterministic=deterministic,
+        remat=not deterministic,  # remat the blocks when training
     )
     ratings = batch["rating"]
     weights = curriculum_sample_weights(ratings, stage)
@@ -123,7 +135,7 @@ def loss_and_metrics(
     loss = sequence_unlikelihood_loss(
         out.logits, batch["targets"], ratings, stage, dcfg, weights
     )
-    kl = weighted_mean(out.kl_per_sample, weights)
+    kl = weighted_mean(out.kl_per_sample.astype(jnp.float32), weights)
     total = loss + tcfg.alpha * kl
     return total, {"loss": loss, "kl": kl, "total": total, "kept": jnp.sum(weights)}
 
@@ -214,7 +226,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", default=0, type=int,
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh_model", default=1, type=int)
-    p.add_argument("--profile_dir", default="", type=str)
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="dump a jax.profiler (Perfetto) trace of steps 10-30")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (f32 master params either way)")
     return p
 
 
@@ -235,6 +253,8 @@ def main(argv=None) -> float:
 
     logger = setup_logger(args.log_path or None)
     logger.info(str(args))
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     mcfg = ModelConfig()
     dcfg = DataConfig()
@@ -249,6 +269,7 @@ def main(argv=None) -> float:
         log_interval=args.log_interval,
         val_interval_ratio=args.val_interval_ratio,
         alpha=args.alpha,
+        dtype=args.dtype,
     )
 
     tokenizer = WordPieceTokenizer.from_file(args.vocab_path)
@@ -362,11 +383,17 @@ def _train_loop(
         avg_loss, seen_steps = 0.0, 0
         for step, batch in enumerate(train_data.batches(bs, shuffle=True, rng=rng_np)):
             jb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            if args.profile_dir and epoch == 0 and step == 10:
+                jax.profiler.start_trace(args.profile_dir)
             timer.start()
             state, metrics = train_step(state, const, jb, jnp.asarray(stage))
-            jax.block_until_ready(metrics["total"])
-            timer.stop()
+            # device sync via host transfer (block_until_ready returns at
+            # dispatch on the axon platform)
             avg_loss += float(metrics["loss"])
+            timer.stop()
+            if args.profile_dir and epoch == 0 and step == 30:
+                jax.profiler.stop_trace()
+                logger.info("Wrote profiler trace to %s", args.profile_dir)
             seen_steps += 1
             if step > 0 and (step + 1) % tcfg.log_interval == 0:
                 logger.info(

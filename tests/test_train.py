@@ -133,3 +133,36 @@ def test_parse_curriculums():
     assert parse_curriculums("1,3") == (1, 3)
     with pytest.raises(ValueError):
         parse_curriculums("1")
+
+
+def test_remat_forward_matches(setup):
+    """jax.checkpoint on the block scan must not change the numbers."""
+    from mmtg_tpu.models.mmtg import mmtg_forward_train
+
+    mcfg, dcfg, batch, const = setup
+    params = init_mmtg_params(jax.random.PRNGKey(7), mcfg)
+    a = mmtg_forward_train(params, const, mcfg, dcfg, batch, remat=False)
+    b = mmtg_forward_train(params, const, mcfg, dcfg, batch, remat=True)
+    np.testing.assert_allclose(
+        np.asarray(a.logits), np.asarray(b.logits), atol=1e-6
+    )
+
+
+def test_training_deterministic_given_seed(setup):
+    """Same seed → bitwise-identical loss trajectory (threaded jax.random
+    keys replace the reference's global torch seeding, train.py:81-94)."""
+    mcfg, dcfg, batch, const = setup
+    tcfg = TrainConfig(lr=1e-3, alpha=0.2)
+
+    def run():
+        state, tx = create_train_state(
+            jax.random.PRNGKey(123), mcfg, tcfg, warmup_steps=1, total_steps=10
+        )
+        step_fn = make_train_step(mcfg, dcfg, tcfg, tx)
+        losses = []
+        for _ in range(3):
+            state, m = step_fn(state, const, batch, jnp.asarray(3))
+            losses.append(float(m["total"]))
+        return losses
+
+    assert run() == run()
