@@ -163,6 +163,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     # TPU-native extras (absent in reference):
     dtype: str = "float32"  # compute dtype; 'bfloat16' for speed
+    remat: bool = True  # rematerialize GPT-2 blocks in backward
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
 
 
@@ -186,3 +187,23 @@ class GenerateConfig:
     # decode attention: 'auto' → Pallas dynamic-length kernel on TPU,
     # XLA masked softmax elsewhere; or force 'pallas' / 'xla'.
     attn_impl: str = "auto"
+
+
+def english_variant(
+    clip_dim: int = 512, gpt2_vocab: int = 50257
+) -> Tuple[ModelConfig, DataConfig]:
+    """The English adaptation the reference README frames as supported
+    (``README.md:19-20``, ``:86``): CLIP embeddings replace WenLan and an
+    English GPT-2 replaces the Chinese one. Everything downstream is
+    dimension-driven, so this is just a config preset.
+
+    Returns (model_config, data_config)."""
+    mcfg = ModelConfig(
+        topic=ChannelConfig(input_dim=clip_dim, hidden_dim=512, type="MLP"),
+        image=ChannelConfig(input_dim=clip_dim, hidden_dim=512),
+        text=ChannelConfig(input_dim=clip_dim, hidden_dim=512),
+        mm_att_out_dim=clip_dim,
+        gpt2=GPT2Config(vocab_size=gpt2_vocab, n_positions=1024),
+    )
+    dcfg = DataConfig(wenlan_emb_size=clip_dim)
+    return mcfg, dcfg

@@ -24,7 +24,7 @@ Faithfulness notes (all reference-cited):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

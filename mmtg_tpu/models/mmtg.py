@@ -31,7 +31,7 @@ from mmtg_tpu.models.encoder import (
     encoder_forward,
     init_encoder_params,
 )
-from mmtg_tpu.models.gpt2 import _dropout, _layer_norm, gpt2_forward, init_gpt2_params
+from mmtg_tpu.models.gpt2 import _layer_norm, gpt2_forward, init_gpt2_params
 
 SPECIAL = SpecialTokens()
 

@@ -18,7 +18,6 @@ over ICI), and throughput logging.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import math
 import os
 import time
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mmtg_tpu.configs import DataConfig, ModelConfig, SpecialTokens, TrainConfig
+from mmtg_tpu.configs import DataConfig, ModelConfig, TrainConfig
 from mmtg_tpu.loss import (
     curriculum_sample_weights,
     sequence_unlikelihood_loss,
@@ -126,7 +125,7 @@ def loss_and_metrics(
         batch,
         dropout_rng=dropout_rng,
         deterministic=deterministic,
-        remat=not deterministic,  # remat the blocks when training
+        remat=tcfg.remat and not deterministic,
     )
     ratings = batch["rating"]
     weights = curriculum_sample_weights(ratings, stage)
@@ -233,6 +232,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (f32 master params either way)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable GPT-2 block rematerialization")
+    p.add_argument("--model_config_json", default="", type=str,
+                   help="GPT-2 config JSON (reference config/model_config.json)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host pods")
     return p
 
 
@@ -251,12 +256,21 @@ def main(argv=None) -> float:
     from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
     from mmtg_tpu.tokenizer import WordPieceTokenizer
 
+    if args.multihost:
+        # multi-host pod slice: coordinator/process env comes from the
+        # TPU runtime; gradient all-reduce then spans hosts over DCN/ICI
+        jax.distributed.initialize()
     logger = setup_logger(args.log_path or None)
     logger.info(str(args))
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    mcfg = ModelConfig()
+    if args.model_config_json:
+        from mmtg_tpu.configs import GPT2Config
+
+        mcfg = ModelConfig(gpt2=GPT2Config.from_json_file(args.model_config_json))
+    else:
+        mcfg = ModelConfig()
     dcfg = DataConfig()
     curriculums = parse_curriculums(args.curriculums)
     tcfg = TrainConfig(
@@ -270,6 +284,7 @@ def main(argv=None) -> float:
         val_interval_ratio=args.val_interval_ratio,
         alpha=args.alpha,
         dtype=args.dtype,
+        remat=not args.no_remat,
     )
 
     tokenizer = WordPieceTokenizer.from_file(args.vocab_path)

@@ -1,7 +1,6 @@
 """Framing-rule golden tests (reference MyDataset.py:62-118 contract)."""
 
 import numpy as np
-import pytest
 
 from mmtg_tpu.configs import DataConfig
 from mmtg_tpu.data import (

@@ -2,8 +2,6 @@
 equivalence between the KV-cached scan decode and a reference-style
 full-re-forward decode (generate.py:97-145 semantics)."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

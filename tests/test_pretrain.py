@@ -4,7 +4,6 @@ the Orbax handoff into the phase-2 trainer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mmtg_tpu.configs import GPT2Config
 from mmtg_tpu.models.gpt2 import init_gpt2_params

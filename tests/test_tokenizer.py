@@ -2,8 +2,6 @@
 
 import pytest
 
-from mmtg_tpu.tokenizer import WordPieceTokenizer
-
 CASES = [
     "主题词：雪山",
     "青山一道同云雨，明月何曾是两乡。",
