@@ -195,3 +195,44 @@ def postprocess_tokens(token_ids, tokenizer) -> str:
     while s and s[-1] == "，":
         s = s[:-1]
     return s
+
+
+def generate_sharded(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    mesh,
+) -> jnp.ndarray:
+    """Data-parallel generation over a device mesh.
+
+    Each ``data``-axis shard decodes its local batch slice with the full
+    replicated model (the per-shard RNG folds in the shard index so rows
+    sample independently). This is the multi-chip serving path — the
+    reference's only scale-out is single-process ``nn.DataParallel``
+    (``generate.py:191``); here a v4-8/v5e-pod slice saturates by sharding
+    the batch over ICI with zero communication during the decode loop.
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mmtg_tpu.parallel.mesh import DATA_AXIS
+
+    def local_generate(params, const, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        return generate(params, const, mcfg, dcfg, gcfg, batch, rng)
+
+    batch_spec = {k: P(DATA_AXIS) for k in batch}
+    fn = shard_map(
+        local_generate,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_spec, P()),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    )
+    return fn(params, const, batch, rng)

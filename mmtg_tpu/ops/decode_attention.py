@@ -204,5 +204,11 @@ def decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, D), q.dtype),
+        # larger batch blocks = fewer sequential programs per call (the
+        # per-program setup overhead is measurable); allow the double
+        # buffers to use more VMEM than the conservative default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(scalars, (q * scale).astype(q.dtype), k_cache, v_cache, pad_bias)

@@ -91,3 +91,34 @@ def test_tp_spec_tree_covers_params(setup):
     # TP axis actually divides the GPT-2 QKV projection
     qkv_spec = specs["gpt2"]["h"]["attn_w"].spec
     assert qkv_spec == jax.sharding.PartitionSpec(None, None, "model")
+
+
+def test_sharded_generation_on_mesh(setup):
+    """DP generation via shard_map on the 8-device mesh: runs, keeps the
+    sentence frame grid, and shards the output over the data axis."""
+    from mmtg_tpu.configs import GenerateConfig, SpecialTokens
+    from mmtg_tpu.decoding import generate_sharded
+
+    mcfg, dcfg, batch, const = setup
+    gen_batch = {
+        k: v
+        for k, v in batch.items()
+        if k in ("topic_ids", "tpw_attention_mask", "tpw_type_ids",
+                 "topic_emb", "img_embs", "r_embs")
+    }
+    params = init_mmtg_params(jax.random.PRNGKey(0), mcfg)
+    gcfg = GenerateConfig(length=24, top_k=5, attn_impl="xla")
+    mesh = make_mesh((8, 1))
+    with mesh:
+        toks = generate_sharded(
+            params, const, mcfg, dcfg, gcfg, gen_batch,
+            jax.random.PRNGKey(3), mesh,
+        )
+    toks = np.asarray(toks)
+    SP = SpecialTokens()
+    assert toks.shape == (8, 25)
+    assert (toks[:, 0] == SP.start_id).all()
+    assert (toks[:, 21] == SP.eos_id).all()
+    assert (toks[:, 22] == SP.start_id).all()
+    # shards sample independently (different rows differ)
+    assert len({tuple(r) for r in toks.tolist()}) > 1
