@@ -34,6 +34,8 @@ def main() -> None:
                     help="tokens to decode for the batch-1 uncached baseline")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8"],
+                    help="int8 KV cache is the serving default (1.66x)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +53,7 @@ def main() -> None:
 
     dev = jax.devices()[0]
     mcfg, dcfg = ModelConfig(), DataConfig()
-    gcfg = GenerateConfig()  # canonical decode config
+    gcfg = GenerateConfig(cache_dtype=args.cache_dtype)  # canonical decode config
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -129,7 +131,8 @@ def main() -> None:
         vs_baseline = tokens_per_sec / base_tps
 
     result = {
-        "metric": "generated tokens/sec/chip (GPT2 decode, batch %d, KV-cached)" % B,
+        "metric": "generated tokens/sec/chip (GPT2 decode, batch %d, KV-cached %s)"
+                  % (B, args.cache_dtype),
         "value": round(tokens_per_sec, 1),
         "unit": "tok/s",
         "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
@@ -137,6 +140,7 @@ def main() -> None:
             "batch": B,
             "length": gcfg.length,
             "dtype": args.dtype,
+            "cache_dtype": args.cache_dtype,
             "decode_wall_s": round(dt, 3),
             "p50_latency_s": round(dt, 3),
             "baseline": "batch-1 uncached full re-forward per token "

@@ -187,6 +187,10 @@ class GenerateConfig:
     # decode attention: 'auto' → Pallas dynamic-length kernel on TPU,
     # XLA masked softmax elsewhere; or force 'pallas' / 'xla'.
     attn_impl: str = "auto"
+    # KV cache precision: 'model' (= param dtype) or 'int8' (per-row
+    # abs-max quantization — halves the decode loop's dominant HBM traffic
+    # at a small sampling-distribution perturbation).
+    cache_dtype: str = "model"
 
 
 def english_variant(

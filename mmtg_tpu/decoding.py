@@ -118,6 +118,7 @@ def generate(
         type_ids,
         attn_mask,
         capacity,
+        quantized=gcfg.cache_dtype == "int8",
     )
 
     key_mask = jnp.zeros((B, capacity), jnp.int32)

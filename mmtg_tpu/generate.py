@@ -48,6 +48,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_samples_path", default="", type=str)
     p.add_argument("--type_id_scheme", default="train",
                    choices=["train", "reference_infer"])
+    p.add_argument("--cache_dtype", default="model", choices=["model", "int8"],
+                   help="KV cache precision (int8 halves decode HBM traffic)")
     return p
 
 
@@ -101,6 +103,7 @@ def main(argv=None) -> None:
         n_samples=args.n_samples,
         length=dcfg.max_seq_length,
         type_id_scheme=args.type_id_scheme,
+        cache_dtype=args.cache_dtype,
     )
 
     tokenizer = WordPieceTokenizer.from_file(args.tokenizer_path)

@@ -36,18 +36,50 @@ class KVCache(NamedTuple):
     DMA runs for the Pallas decode-attention kernel, and the per-step
     write is one contiguous D-row per sample. (Layouts with hd=64 as the
     trailing dim get lane-padded to 128 by Mosaic and rejected for
-    slicing; ``[.., hd, T]`` layouts degrade DMA to 256-byte runs.)"""
+    slicing; ``[.., hd, T]`` layouts degrade DMA to 256-byte runs.)
 
-    k: jnp.ndarray  # [L, B, T_max, D]
+    Optionally int8-quantized (``k_scale``/``v_scale`` set): per-row
+    abs-max scales, halving the decode loop's dominant HBM traffic."""
+
+    k: jnp.ndarray  # [L, B, T_max, D] (float or int8)
     v: jnp.ndarray  # [L, B, T_max, D]
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, T_max] f32 (int8 mode)
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
-def init_cache(cfg: GPT2Config, batch: int, capacity: int, dtype=jnp.float32) -> KVCache:
+
+def quantize_rows(x: jnp.ndarray):
+    """Symmetric per-row int8 quantization over the last axis.
+
+    Returns (values int8 ``[...]``, scales f32 ``[...-1 dims]``)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def init_cache(
+    cfg: GPT2Config, batch: int, capacity: int, dtype=jnp.float32,
+    quantized: bool = False,
+) -> KVCache:
     shape = (cfg.n_layer, batch, capacity, cfg.n_embd)
+    if quantized:
+        sshape = shape[:-1]
+        return KVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, jnp.float32),
+            jnp.zeros(sshape, jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -245,8 +277,10 @@ def gpt2_decode_step(
     # step. With a fori_loop carry + dynamic_update_slice, XLA keeps the
     # cache in place; per-step HBM traffic is one cache READ, not
     # read+rewrite.
+    quantized = cache.quantized
+
     def layer(l, carry):
-        h, k_full, v_full = carry  # k/v_full: [L, B, T_max, D]
+        h, k_full, v_full, ks_full, vs_full = carry
         lp = jax.tree.map(
             lambda x: jax.lax.dynamic_index_in_dim(x, l, 0, keepdims=False),
             params["h"],
@@ -254,28 +288,56 @@ def gpt2_decode_step(
         a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
         qkv = a @ lp["attn_w"] + lp["attn_b"]  # [B, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if quantized:
+            k_store, ks = quantize_rows(k)
+            v_store, vs = quantize_rows(v)
+            ks_full = jax.lax.dynamic_update_slice(
+                ks_full, ks.reshape(1, B, 1), (l, 0, position)
+            )
+            vs_full = jax.lax.dynamic_update_slice(
+                vs_full, vs.reshape(1, B, 1), (l, 0, position)
+            )
+        else:
+            k_store, v_store = k, v
         k_full = jax.lax.dynamic_update_slice(
-            k_full, k.reshape(1, B, 1, D), (l, 0, position, 0)
+            k_full, k_store.reshape(1, B, 1, D), (l, 0, position, 0)
         )
         v_full = jax.lax.dynamic_update_slice(
-            v_full, v.reshape(1, B, 1, D), (l, 0, position, 0)
+            v_full, v_store.reshape(1, B, 1, D), (l, 0, position, 0)
         )
         if attn_impl == "pallas":
-            from mmtg_tpu.ops.decode_attention import decode_attention
-
-            ctx = decode_attention(
-                q, k_full, v_full, key_mask, position, l, n_head=n_head
+            from mmtg_tpu.ops.decode_attention import (
+                decode_attention,
+                decode_attention_int8,
             )
+
+            if quantized:
+                ctx = decode_attention_int8(
+                    q, k_full, v_full, ks_full, vs_full, key_mask, position,
+                    l, n_head=n_head,
+                )
+            else:
+                ctx = decode_attention(
+                    q, k_full, v_full, key_mask, position, l, n_head=n_head
+                )
         else:
             qh = q.reshape(B, n_head, hd)
             k_cache = jax.lax.dynamic_index_in_dim(k_full, l, 0, keepdims=False)
             v_cache = jax.lax.dynamic_index_in_dim(v_full, l, 0, keepdims=False)
-            k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=1).reshape(
-                B, W, n_head, hd
-            )
-            v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=1).reshape(
-                B, W, n_head, hd
-            )
+            k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=1)
+            v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=1)
+            if quantized:
+                ks_c = jax.lax.dynamic_index_in_dim(ks_full, l, 0, keepdims=False)
+                vs_c = jax.lax.dynamic_index_in_dim(vs_full, l, 0, keepdims=False)
+                ks_c = jax.lax.slice_in_dim(ks_c, 0, W, axis=1)
+                vs_c = jax.lax.slice_in_dim(vs_c, 0, W, axis=1)
+                k_cache = k_cache.astype(jnp.float32) * ks_c[..., None]
+                v_cache = (v_cache.astype(jnp.float32) * vs_c[..., None]).astype(
+                    h.dtype
+                )
+                k_cache = k_cache.astype(h.dtype)
+            k_cache = k_cache.reshape(B, W, n_head, hd)
+            v_cache = v_cache.reshape(B, W, n_head, hd)
             scores = jnp.einsum(
                 "bhd,bthd->bht", qh, k_cache, preferred_element_type=jnp.float32
             ).astype(h.dtype) * scale
@@ -285,13 +347,18 @@ def gpt2_decode_step(
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
         m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
         h = h + m @ lp["mlp_proj_w"] + lp["mlp_proj_b"]
-        return h, k_full, v_full
+        return h, k_full, v_full, ks_full, vs_full
 
-    h, new_k, new_v = jax.lax.fori_loop(
-        0, cfg.n_layer, layer, (h, cache.k, cache.v)
+    # None carries break fori_loop pytree matching → dummy zero-d arrays
+    ks0 = cache.k_scale if quantized else jnp.zeros((), jnp.float32)
+    vs0 = cache.v_scale if quantized else jnp.zeros((), jnp.float32)
+    h, new_k, new_v, new_ks, new_vs = jax.lax.fori_loop(
+        0, cfg.n_layer, layer, (h, cache.k, cache.v, ks0, vs0)
     )
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
     logits = h @ params["wte"].T
+    if quantized:
+        return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(new_k, new_v)
 
 
@@ -303,6 +370,7 @@ def prefill_cache(
     token_type_ids: jnp.ndarray,
     attention_mask: jnp.ndarray,
     capacity: int,
+    quantized: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt once, returning its logits and a cache padded to
     ``capacity`` (the encoder+prefix runs once; per-token cost becomes
@@ -323,6 +391,14 @@ def prefill_cache(
     k = k.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, H_ * hd_)
     v = v.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, H_ * hd_)
     pad = [(0, 0), (0, 0), (0, capacity - T), (0, 0)]
+    if quantized:
+        kq, ks = quantize_rows(k)
+        vq, vs = quantize_rows(v)
+        spad = pad[:-1]
+        return logits, KVCache(
+            jnp.pad(kq, pad), jnp.pad(vq, pad),
+            jnp.pad(ks, spad), jnp.pad(vs, spad),
+        )
     return logits, KVCache(jnp.pad(k, pad), jnp.pad(v, pad))
 
 

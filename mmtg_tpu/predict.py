@@ -37,6 +37,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--topp", default=0.7, type=float)
     p.add_argument("--repetition_penalty", default=1.5, type=float)
     p.add_argument("--n_samples", default=5, type=int)
+    p.add_argument("--cache_dtype", default="model", choices=["model", "int8"])
     p.add_argument("--swap_probe", action="store_true",
                    help="also generate with two experience steps swapped")
     p.add_argument("--swap_steps", default="1,3", type=str)
@@ -65,6 +66,7 @@ def main(argv=None) -> None:
         top_p=args.topp,
         repetition_penalty=args.repetition_penalty,
         length=dcfg.max_seq_length,
+        cache_dtype=args.cache_dtype,
     )
     tokenizer = WordPieceTokenizer.from_file(args.tokenizer_path)
     params = load_params(args.model_path, mcfg)

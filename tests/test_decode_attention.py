@@ -78,3 +78,22 @@ def test_bf16(tensors):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_int8_kernel_matches_dequant_oracle(tensors, rng):
+    from mmtg_tpu.models.gpt2 import quantize_rows
+    from mmtg_tpu.ops.decode_attention import decode_attention_int8
+
+    q, k, v = tensors
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    mask = jnp.ones((B, T), jnp.int32)
+    pos, layer = 130, 1
+    out = decode_attention_int8(
+        q, kq, vq, ks, vs, mask, jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    k_deq = kq.astype(jnp.float32) * ks[..., None]
+    v_deq = vq.astype(jnp.float32) * vs[..., None]
+    ref = _oracle(q, k_deq, v_deq, mask, pos, layer)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

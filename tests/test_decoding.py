@@ -207,3 +207,39 @@ def test_topk_subspace_sampling_distribution(rng):
     sub = jax.nn.softmax(vals, axis=-1)
     scattered = jnp.zeros((B, V)).at[jnp.arange(B)[:, None], idx].set(sub)
     np.testing.assert_allclose(np.asarray(scattered), np.asarray(full), atol=1e-6)
+
+
+def test_int8_cache_decode(gen_setup):
+    """int8 KV cache: structure intact, high token agreement with the
+    full-precision decode (quantization perturbs the sampling
+    distribution only slightly)."""
+    params, const, mcfg, dcfg, jb = gen_setup
+    rng = jax.random.PRNGKey(21)
+    base = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, attn_impl="xla"), jb, rng,
+    ))
+    q8 = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, attn_impl="xla", cache_dtype="int8"),
+        jb, rng,
+    ))
+    assert q8.shape == base.shape
+    # frame grid intact
+    assert (q8[:, 0] == SPECIAL.start_id).all()
+    assert (q8[:, 21] == SPECIAL.eos_id).all()
+    assert (q8[:, 22] == SPECIAL.start_id).all()
+    # same RNG + small perturbation → most tokens agree
+    agreement = (q8 == base).mean()
+    assert agreement > 0.6, agreement
+
+
+def test_quantize_rows_roundtrip(rng):
+    from mmtg_tpu.models.gpt2 import quantize_rows
+
+    x = jnp.asarray(rng.standard_normal((4, 7, 64)).astype(np.float32)) * 3
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8
+    deq = q.astype(jnp.float32) * s[..., None]
+    err = np.max(np.abs(np.asarray(deq - x)))
+    assert err <= float(jnp.max(s)) * 0.5 + 1e-6  # within half a quantum
