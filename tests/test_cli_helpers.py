@@ -1,0 +1,69 @@
+"""CLI helper units: batch replication, checkpoint-path dispatch, arg
+parsers — the glue the e2e drive exercises but can't isolate."""
+
+import numpy as np
+import pytest
+
+from mmtg_tpu.generate import build_arg_parser as gen_parser
+from mmtg_tpu.generate import load_params, replicate_batch
+from mmtg_tpu.predict import _swap_steps
+from mmtg_tpu.predict import build_arg_parser as pred_parser
+
+
+def test_replicate_batch_order():
+    rows = [
+        {
+            "topic_ids": np.full(3, i),
+            "tpw_attention_mask": np.ones(3),
+            "tpw_type_ids": np.ones(3),
+            "topic_emb": np.full(4, i, np.float32),
+            "img_embs": np.zeros((5, 4), np.float32),
+            "r_embs": np.zeros((5, 4), np.float32),
+        }
+        for i in range(2)
+    ]
+    out = replicate_batch(rows, n_samples=3)
+    ids = np.asarray(out["topic_ids"])[:, 0]
+    # row-major: each row repeated n_samples times consecutively
+    np.testing.assert_array_equal(ids, [0, 0, 0, 1, 1, 1])
+
+
+def test_load_params_missing_orbax(tmp_path):
+    from mmtg_tpu.configs import ModelConfig
+
+    with pytest.raises(FileNotFoundError):
+        load_params(str(tmp_path / "nope"), ModelConfig())
+
+
+def test_generate_parser_reference_flags():
+    # canonical generate.sh flag set parses (incl. the parity no-ops)
+    args = gen_parser().parse_args([
+        "--device_ids", "0,1", "--CUDA_VISIBLE_DEVICES", "0,1",
+        "--batch_size", "32", "--seed", "42", "--num_workers", "4",
+        "--data_path", "x.pkl", "--model_path", "m", "--tokenizer_path", "v",
+        "--temperature", "1.1", "--topk", "10", "--topp", "0.7",
+        "--repetition_penalty", "1.5", "--n_samples", "10",
+        "--save_samples", "--save_samples_path", "res/test.txt",
+    ])
+    assert args.topk == 10 and args.save_samples
+
+
+def test_swap_probe_swaps_only_embeddings():
+    row = {
+        "img_embs": np.arange(10, dtype=np.float32).reshape(5, 2),
+        "r_embs": np.arange(10, 20, dtype=np.float32).reshape(5, 2),
+        "topic_emb": np.zeros(2, np.float32),
+    }
+    out = _swap_steps(row, 1, 3)
+    np.testing.assert_array_equal(out["img_embs"][1], row["img_embs"][3])
+    np.testing.assert_array_equal(out["img_embs"][3], row["img_embs"][1])
+    np.testing.assert_array_equal(out["r_embs"][1], row["r_embs"][3])
+    np.testing.assert_array_equal(out["topic_emb"], row["topic_emb"])
+    # original untouched
+    assert row["img_embs"][1, 0] == 2.0
+
+
+def test_predict_parser_defaults():
+    args = pred_parser().parse_args(["--data_path", "x", "--model_path", "m",
+                                     "--tokenizer_path", "v"])
+    assert args.n_samples == 5 and not args.swap_probe
