@@ -217,8 +217,6 @@ def generate_sharded(
     (``generate.py:191``); here a v4-8/v5e-pod slice saturates by sharding
     the batch over ICI with zero communication during the decode loop.
     """
-    from functools import partial as _partial
-
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
