@@ -30,8 +30,10 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--baseline-tokens", type=int, default=220,
-                    help="tokens to decode for the batch-1 uncached baseline")
+    ap.add_argument("--baseline-tokens", type=int, default=60,
+                    help="tokens to decode for the batch-1 uncached baseline "
+                         "(its per-token cost is constant — the static-window "
+                         "re-forward — so 60 tokens estimate the rate)")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8"],

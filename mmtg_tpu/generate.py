@@ -65,12 +65,20 @@ def load_params(model_path: str, mcfg: ModelConfig):
     key = jax.random.PRNGKey(0)
     template, _ = create_train_state(key, mcfg, __import__(
         "mmtg_tpu.configs", fromlist=["TrainConfig"]).TrainConfig(), 1, 1)
-    ckpt_dir = model_path if os.path.basename(model_path) == "orbax" else os.path.join(
-        model_path, "orbax")
-    state, step = restore_train_state(ckpt_dir, template)
-    if step < 0:
-        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-    return state.params
+    if os.path.basename(model_path).startswith("orbax"):
+        candidates = [model_path]
+    else:
+        # prefer the best-val stream when present (reference loads
+        # best_val_model.pth by convention)
+        candidates = [
+            os.path.join(model_path, "orbax_best"),
+            os.path.join(model_path, "orbax"),
+        ]
+    for ckpt_dir in candidates:
+        state, step = restore_train_state(ckpt_dir, template)
+        if step >= 0:
+            return state.params
+    raise FileNotFoundError(f"no checkpoint under {candidates}")
 
 
 def replicate_batch(rows: List[Dict[str, np.ndarray]], n_samples: int) -> Dict:

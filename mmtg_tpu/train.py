@@ -444,13 +444,18 @@ def _train_loop(
 
 
 def _save(save_path: str, state: TrainState, tag: str, logger) -> None:
+    """Two artifact streams like the reference's best_val_model.pth /
+    epoch_{N}.pth (train.py:212-213, :230-231): best-val checkpoints under
+    orbax_best/, epoch checkpoints under orbax/ (which --resume reads)."""
     from mmtg_tpu.checkpoint import save_train_state
 
     os.makedirs(save_path, exist_ok=True)
+    sub = "orbax_best" if tag == "best_val" else "orbax"
     save_train_state(
-        os.path.join(save_path, "orbax"), int(state.step), jax.device_get(state)
+        os.path.join(save_path, sub), int(state.step), jax.device_get(state)
     )
-    logger.info("Saved %s checkpoint at step %d to %s", tag, int(state.step), save_path)
+    logger.info("Saved %s checkpoint at step %d to %s/%s", tag,
+                int(state.step), save_path, sub)
 
 
 if __name__ == "__main__":
