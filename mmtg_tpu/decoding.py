@@ -96,6 +96,7 @@ def generate(
         batch["topic_emb"],
         batch["img_embs"],
         batch["r_embs"],
+        use_fused_gru=attn_impl == "pallas",  # same TPU-capability gate
     )
 
     # ---- prefill: topic prompt + initial [#START#] ------------------------

@@ -118,6 +118,7 @@ def encoder_forward(
     image: jnp.ndarray,
     text: jnp.ndarray,
     dropout_key=None,
+    use_fused_gru: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reference ``MultiModalEncoder.forward`` (``model.py:63-81``).
 
@@ -131,6 +132,15 @@ def encoder_forward(
     for name, x, ch in (("image", image, cfg.image), ("text", text, cfg.text)):
         if ch.type == "TRM":
             outs[name] = _trm_forward(params[name], x)
+        elif use_fused_gru and ch.type == "GRU" and ch.num_layers == 1:
+            # inference-only Pallas kernel (no custom VJP): hidden state
+            # stays in VMEM across all T steps
+            from mmtg_tpu.ops.fused_gru import fused_gru
+
+            lp = params[name]["layers"][0]
+            outs[name] = fused_gru(
+                x, lp["w_ih"], lp["w_hh"], lp["b_ih"], lp["b_hh"]
+            )
         else:
             k = None
             if dropout_key is not None:

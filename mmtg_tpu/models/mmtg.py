@@ -75,6 +75,7 @@ def encode_experiences(
     img_embs: jnp.ndarray,
     r_embs: jnp.ndarray,
     dropout_key=None,
+    use_fused_gru: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reference ``MMTG.forward`` encoder half (``model.py:371-390``).
 
@@ -97,6 +98,7 @@ def encode_experiences(
         img_embs.transpose(1, 0, 2),
         r_embs.transpose(1, 0, 2),
         dropout_key=dropout_key,
+        use_fused_gru=use_fused_gru,
     )
     topic_o = ln(topic_o, params["ln_topic"])  # [1, B, H]
     image_o = ln(image_o, params["ln_image"])  # [T, B, H]
