@@ -48,11 +48,38 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def generate(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Generate lyrics for a whole batch in one compiled program (public
+    wrapper: normalizes GenerateConfig fields that don't shape the
+    compiled program — seed/batch_size/n_samples — so varying them never
+    silently recompiles)."""
+    import dataclasses
+
+    gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
+    return _generate_jit(params, const, mcfg, dcfg, gcfg, batch, rng)
+
+
+# expose the jit cache controls (tests use clear_cache)
+def _clear_cache():
+    _generate_jit.clear_cache()
+
+
+generate.clear_cache = _clear_cache
+
+
 @partial(
     jax.jit,
     static_argnames=("mcfg", "dcfg", "gcfg"),
 )
-def generate(
+def _generate_jit(
     params: Dict,
     const: Dict,
     mcfg: ModelConfig,
