@@ -36,9 +36,11 @@ def make_mesh(
     if mesh_shape is None:
         mesh_shape = (n, 1)
     d, m = mesh_shape
-    if d * m != n:
-        raise ValueError(f"mesh {mesh_shape} != {n} devices")
-    return Mesh(devices.reshape(d, m), (DATA_AXIS, MODEL_AXIS))
+    if d * m > n:
+        raise ValueError(f"mesh {mesh_shape} needs {d * m} devices, have {n}")
+    # a smaller mesh uses the first d*m devices (e.g. (1,1) = single-chip
+    # runs on a multi-device host)
+    return Mesh(devices.ravel()[: d * m].reshape(d, m), (DATA_AXIS, MODEL_AXIS))
 
 
 # GPT-2 stacked-layer tensor-parallel layout ([L, ...] leading layer axis).

@@ -248,7 +248,10 @@ def parse_curriculums(s: str) -> Tuple[int, int]:
     return (vals[0], vals[1])
 
 
-def main(argv=None) -> float:
+def main(argv=None, mcfg: Optional[ModelConfig] = None,
+         dcfg: Optional[DataConfig] = None) -> float:
+    """CLI entry; ``mcfg``/``dcfg`` injectable so tests can drive the full
+    training loop with a tiny model on the CPU mesh."""
     args = build_arg_parser().parse_args(argv)
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
@@ -265,13 +268,15 @@ def main(argv=None) -> float:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    if args.model_config_json:
-        from mmtg_tpu.configs import GPT2Config
+    if mcfg is None:
+        if args.model_config_json:
+            from mmtg_tpu.configs import GPT2Config
 
-        mcfg = ModelConfig(gpt2=GPT2Config.from_json_file(args.model_config_json))
-    else:
-        mcfg = ModelConfig()
-    dcfg = DataConfig()
+            mcfg = ModelConfig(gpt2=GPT2Config.from_json_file(args.model_config_json))
+        else:
+            mcfg = ModelConfig()
+    if dcfg is None:
+        dcfg = DataConfig()
     curriculums = parse_curriculums(args.curriculums)
     tcfg = TrainConfig(
         batch_size=args.batch_size,

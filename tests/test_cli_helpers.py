@@ -67,3 +67,55 @@ def test_predict_parser_defaults():
     args = pred_parser().parse_args(["--data_path", "x", "--model_path", "m",
                                      "--tokenizer_path", "v"])
     assert args.n_samples == 5 and not args.swap_probe
+
+
+def test_train_cli_end_to_end_tiny(tmp_path, tiny_model_cfg, tiny_data_cfg,
+                                   reference_vocab_path, rng):
+    """Drive mmtg_tpu.train.main() with a tiny injected model: curriculum
+    stages, val/save cadence, Orbax best+epoch artifacts."""
+    import pickle
+
+    from mmtg_tpu.data import make_synthetic_records
+    from mmtg_tpu.train import main as train_main
+
+    records = make_synthetic_records(12, rng, emb_size=tiny_data_cfg.wenlan_emb_size)
+    train_pkl = tmp_path / "train.pkl"
+    with open(train_pkl, "wb") as f:
+        pickle.dump(records, f)
+    # real-vocab-sized emb table so tokenized ids resolve without clamping
+    emb_pkl = tmp_path / "emb.pkl"
+    table = {i: rng.standard_normal(tiny_data_cfg.wenlan_emb_size).astype("float32")
+             for i in range(13317)}
+    with open(emb_pkl, "wb") as f:
+        pickle.dump(table, f)
+
+    import dataclasses
+
+    from mmtg_tpu.configs import GPT2Config
+
+    mcfg = dataclasses.replace(
+        tiny_model_cfg,
+        gpt2=GPT2Config(vocab_size=13317, n_positions=256, n_embd=48,
+                        n_layer=2, n_head=4),
+    )
+    save = tmp_path / "ckpt"
+    val = train_main(
+        [
+            "--batch_size", "4", "--val_batch_size", "4", "--epochs", "2",
+            "--lr", "1e-3", "--curriculums", "[1,2]", "--log_interval", "2",
+            "--train_data_path", str(train_pkl),
+            "--val_data_path", str(train_pkl),
+            "--vocab_path", reference_vocab_path,
+            "--token_emb_path", str(emb_pkl),
+            "--save_model", "--save_path", str(save),
+            "--alpha", "0.2", "--dtype", "float32",
+            "--mesh_data", "1", "--mesh_model", "1",
+        ],
+        mcfg=mcfg,
+        dcfg=tiny_data_cfg,
+    )
+    import math
+    import os
+
+    assert math.isfinite(val)
+    assert os.path.isdir(save / "orbax")  # epoch stream
