@@ -94,3 +94,18 @@ def test_embedding_table_roundtrip(tmp_path, rng):
     assert dense.shape == (12, 8)
     np.testing.assert_allclose(dense[3], table[3])
     np.testing.assert_allclose(dense[11], 0.0)  # missing ids are zero
+
+
+def test_dataset_from_pkl_file(tmp_path, tokenizer, rng):
+    """MMTGDataset loads the reference pkl format from disk (the
+    constructor path the CLIs use; from_records covers the rest)."""
+    import pickle
+
+    records = make_synthetic_records(3, rng)
+    p = tmp_path / "data.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(records, f)
+    ds = MMTGDataset(str(p), tokenizer, CFG, if_train=True)
+    assert len(ds) == 3
+    assert ds.topics == [r["topic"] for r in records]
+    np.testing.assert_allclose(ds[1]["topic_emb"], records[1]["topic_emb"])

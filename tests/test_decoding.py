@@ -243,3 +243,19 @@ def test_quantize_rows_roundtrip(rng):
     deq = q.astype(jnp.float32) * s[..., None]
     err = np.max(np.abs(np.asarray(deq - x)))
     assert err <= float(jnp.max(s)) * 0.5 + 1e-6  # within half a quantum
+
+
+def test_postprocess_edge_cases(tokenizer):
+    sep = tokenizer.sep_token_id
+    # 10+ EOS, no SEP before the 10th → cut at the 10th EOS
+    ids = []
+    for _ in range(11):
+        ids += [1] + tokenizer.convert_tokens_to_ids(list("山")) + [2]
+    s = postprocess_tokens(ids, tokenizer)
+    assert s.count("，") == 9 and s.replace("，", "") == "山" * 10
+    # early SEP wins when fewer than 10 EOS precede it
+    ids2 = [1] + tokenizer.convert_tokens_to_ids(list("月")) + [2, sep, 9, 9]
+    assert postprocess_tokens(ids2, tokenizer) == "月"
+    # no EOS and no SEP at all → everything kept, specials stripped
+    ids3 = tokenizer.convert_tokens_to_ids(list("天涯"))
+    assert postprocess_tokens(ids3, tokenizer) == "天涯"

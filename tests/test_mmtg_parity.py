@@ -192,3 +192,27 @@ def test_full_forward_parity(tiny_model_cfg, tiny_data_cfg, tokenizer, rng):
 def test_dataparallel_prefix_strip():
     state = {"module.encoder.topic_fc.weight": np.zeros((2, 2))}
     assert "encoder.topic_fc.weight" in strip_prefix(state)
+
+
+def test_load_reference_checkpoint_file(tmp_path, tiny_model_cfg):
+    """Full .pth round trip: torch.save a reference-format checkpoint
+    ({'model': DataParallel-prefixed state dict, 'args', 'model_cfgs'},
+    train.py:212) → load_reference_checkpoint → same pytree as the direct
+    importer."""
+    from mmtg_tpu.checkpoint import (
+        import_reference_state_dict,
+        load_reference_checkpoint,
+    )
+
+    oracle = build_oracle(tiny_model_cfg)
+    sd = oracle.state_dict()
+    wrapped = {"module." + k: v for k, v in sd.items()}
+    path = tmp_path / "mmtg_ckpt.pth"
+    torch.save({"model": wrapped, "args": {"lr": 1e-5}, "model_cfgs": {}}, path)
+
+    via_file = load_reference_checkpoint(str(path), tiny_model_cfg)
+    direct = import_reference_state_dict(sd, tiny_model_cfg)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(via_file), jax.tree.leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
