@@ -119,3 +119,56 @@ def test_train_cli_end_to_end_tiny(tmp_path, tiny_model_cfg, tiny_data_cfg,
 
     assert math.isfinite(val)
     assert os.path.isdir(save / "orbax")  # epoch stream
+
+
+def test_train_cli_resume(tmp_path, tiny_model_cfg, tiny_data_cfg,
+                          reference_vocab_path, rng):
+    """--resume restores the Orbax epoch stream and continues training."""
+    import dataclasses
+    import pickle
+
+    from mmtg_tpu.configs import GPT2Config
+    from mmtg_tpu.data import make_synthetic_records
+    from mmtg_tpu.train import main as train_main
+
+    records = make_synthetic_records(8, rng, emb_size=tiny_data_cfg.wenlan_emb_size)
+    train_pkl = tmp_path / "train.pkl"
+    with open(train_pkl, "wb") as f:
+        pickle.dump(records, f)
+    emb_pkl = tmp_path / "emb.pkl"
+    table = {i: rng.standard_normal(tiny_data_cfg.wenlan_emb_size).astype("float32")
+             for i in range(13317)}
+    with open(emb_pkl, "wb") as f:
+        pickle.dump(table, f)
+    mcfg = dataclasses.replace(
+        tiny_model_cfg,
+        gpt2=GPT2Config(vocab_size=13317, n_positions=256, n_embd=48,
+                        n_layer=2, n_head=4),
+    )
+    save = tmp_path / "ckpt"
+    common = [
+        "--batch_size", "4", "--epochs", "1", "--lr", "1e-3",
+        "--curriculums", "[0,0]", "--log_interval", "5",
+        "--train_data_path", str(train_pkl), "--val_data_path", str(train_pkl),
+        "--vocab_path", reference_vocab_path, "--token_emb_path", str(emb_pkl),
+        "--save_model", "--save_path", str(save), "--dtype", "float32",
+        "--mesh_data", "1", "--mesh_model", "1",
+    ]
+    train_main(common, mcfg=mcfg, dcfg=tiny_data_cfg)
+    from mmtg_tpu.checkpoint import restore_train_state
+    from mmtg_tpu.train import create_train_state
+    from mmtg_tpu.configs import TrainConfig
+    import jax
+    import os
+
+    # step count after run 1 = 2 steps (8 samples / bs 4)
+    template, _ = create_train_state(
+        jax.random.PRNGKey(0), mcfg, TrainConfig(), 1, 10
+    )
+    _, step1 = restore_train_state(os.path.join(str(save), "orbax"), template)
+    assert step1 == 2
+
+    # resume: second run continues, saving a later step
+    train_main(common + ["--resume"], mcfg=mcfg, dcfg=tiny_data_cfg)
+    _, step2 = restore_train_state(os.path.join(str(save), "orbax"), template)
+    assert step2 == 4
