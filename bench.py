@@ -35,6 +35,10 @@ def main() -> None:
                          "(its per-token cost is constant — the static-window "
                          "re-forward — so 60 tokens estimate the rate)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--runs", type=int, default=7,
+                    help="timed decode repeats; reported value is the p50 "
+                         "(the tunnel occasionally doubles one run's wall "
+                         "time — a mean is fiction, the median is not)")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8"],
                     help="int8 KV cache is the serving default (1.66x)")
@@ -85,14 +89,27 @@ def main() -> None:
     # NOTE: sync via a device->host scalar transfer — on the experimental
     # axon platform block_until_ready returns at dispatch, not completion.
     float(jnp.sum(generate(params, const, mcfg, dcfg, gcfg, batch, key)))
-    t0 = time.perf_counter()
-    runs = 3
-    for i in range(runs):
+    times = []
+    for i in range(args.runs):
+        t0 = time.perf_counter()
         toks = generate(params, const, mcfg, dcfg, gcfg, batch,
                         jax.random.fold_in(key, i))
         float(jnp.sum(toks))
-    dt = (time.perf_counter() - t0) / runs
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]  # p50 — robust to tunnel hiccups
+    best = times[0]
+    spread = (times[-1] - times[0]) / dt
     tokens_per_sec = B * gcfg.length / dt
+    if spread > 0.15:
+        import sys
+
+        print(
+            f"WARNING: decode run-to-run spread {spread:.1%} > 15% "
+            f"(times: {[round(t, 3) for t in times]}) — rerun on an idle "
+            "host; the TPU runtime proxy is contention-sensitive",
+            file=sys.stderr,
+        )
 
     # ---- baseline: reference-shaped decode (batch 1, no KV cache) --------
     vs_baseline = None
@@ -145,6 +162,10 @@ def main() -> None:
             "cache_dtype": args.cache_dtype,
             "decode_wall_s": round(dt, 3),
             "p50_latency_s": round(dt, 3),
+            "best_latency_s": round(best, 3),
+            "best_tok_s": round(B * gcfg.length / best, 1),
+            "runs": args.runs,
+            "spread_pct": round(100 * spread, 1),
             "baseline": "batch-1 uncached full re-forward per token "
                         "(reference generate.py:117-124 cost shape), same chip",
             "baseline_tok_s": round(base_tps, 2) if vs_baseline else None,

@@ -96,12 +96,17 @@ def main() -> None:
     results = []
 
     if 1 in wanted:  # single-sample top-k decode (reference generate.py shape)
+        # BASELINE.md words this config "CPU, batch 1"; we deliberately run
+        # it on the default device (the TPU chip) with pure top-k
+        # (top_p=0) — the JSON records both choices honestly.
         b = make_batch(rng, 1, dcfg, dtype)
         g = GenerateConfig(top_p=0.0)  # pure top-k, like config name says
         dt = _time(lambda: _sync(generate(params, const, mcfg, dcfg, g, b, key)))
         results.append(
             {"config": "1:batch1-topk-decode", "value": round(g.length / dt, 1),
-             "unit": "tok/s", "p50_latency_s": round(dt, 4)}
+             "unit": "tok/s", "p50_latency_s": round(dt, 4),
+             "device": str(jax.devices()[0]), "sampling": "top-k 10, top-p off",
+             "note": "BASELINE config 1 says CPU; measured on the TPU chip instead"}
         )
 
     if 2 in wanted:  # encoder forward, batch 32

@@ -13,8 +13,9 @@ Faithfulness notes (all reference-cited):
     (``generate.py:118-122``) — forced tokens still enter the cache, as
     they do implicitly in the reference's full re-forward;
   * PAD begets PAD until the next frame boundary (``generate.py:137-138``);
-  * repetition penalty divides seen-token logits unconditionally
-    (``generate.py:127-131``), exempting {PAD, SEP};
+  * repetition penalty divides seen-token logits unconditionally, once
+    PER OCCURRENCE (``generate.py:127-131`` — the tensor-set never
+    dedupes), exempting {PAD, SEP};
   * the attention mask masks PAD keys, per-row (the reference's rebuild
     peeks at batch element 0 — ``model.py:311`` — which is equivalent
     only at batch 1; here every row gets its own mask);
@@ -153,7 +154,9 @@ def _generate_jit(
     key_mask = jax.lax.dynamic_update_slice(key_mask, attn_mask, (0, 0))
 
     tokens = jnp.zeros((B, length + 1), jnp.int32).at[:, 0].set(SPECIAL.start_id)
-    seen = jnp.zeros((B, V), bool).at[:, SPECIAL.start_id].set(True)
+    # occurrence counts (not a bool mask): the reference penalizes once per
+    # occurrence — see ops/sampling.apply_repetition_penalty
+    seen = jnp.zeros((B, V), jnp.int32).at[:, SPECIAL.start_id].set(1)
 
     # fused window id per target position j: j // 44, clamped; no addition
     # past the last window (model.py:267-268).
@@ -179,7 +182,7 @@ def _generate_jit(
         tok = jnp.where(is_forced, forced_id, sampled)  # [B]
         j = i + 1
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, j))
-        seen = seen.at[jnp.arange(B), tok].set(True)
+        seen = seen.at[jnp.arange(B), tok].add(1)
 
         # --- embed the new token and extend the cache ---
         wl = wenlan_embed(table, tok)  # [B, 2048]

@@ -37,8 +37,16 @@ def corpus_bleu(
     hypotheses: List[Sequence[str]],
     references: List[List[Sequence[str]]],
     max_n: int = 4,
+    epsilon: float = 0.1,
 ) -> Dict[str, float]:
-    """Corpus-level BLEU-1..max_n with +1 smoothing on higher orders."""
+    """Corpus-level BLEU-1..max_n with NLTK method-1 smoothing.
+
+    Matches ``nltk.translate.bleu_score.corpus_bleu(...,
+    smoothing_function=SmoothingFunction(epsilon=0.1).method1)``:
+    numerators/denominators aggregate over the corpus, and a zero-match
+    aggregated numerator is replaced by ``epsilon`` — so numbers are
+    directly comparable with the paper's reported BLEU (oracle-tested
+    against nltk in tests/test_eval.py)."""
     if len(hypotheses) != len(references):
         raise ValueError("hypotheses/references length mismatch")
     results = {}
@@ -55,10 +63,11 @@ def corpus_bleu(
                     best[g] = max(best[g], c)
             match += sum(min(c, best[g]) for g, c in hyp_ng.items())
             total += sum(hyp_ng.values())
-        # method-1 smoothing beyond unigrams
-        if n > 1:
-            match, total = match + 1, total + 1
-        results[f"p{n}"] = match / max(total, 1)
+        # NLTK method-1: only zero numerators get the epsilon count
+        smoothed = match if match > 0 else epsilon
+        results[f"p{n}"] = smoothed / total if total > 0 else 0.0
+        if n == 1:
+            unigram_match = match
     # brevity penalty
     hyp_len = sum(len(h) for h in hypotheses)
     ref_len = sum(
@@ -68,7 +77,10 @@ def corpus_bleu(
     bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
     for n in range(1, max_n + 1):
         ps = [results[f"p{k}"] for k in range(1, n + 1)]
-        if min(ps) > 0:
+        if unigram_match == 0:
+            # nltk returns 0 outright when no unigram matches at all
+            geo = 0.0
+        elif min(ps) > 0:
             geo = math.exp(sum(math.log(p) for p in ps) / n)
         else:
             geo = 0.0

@@ -60,11 +60,11 @@ def load_params(model_path: str, mcfg: ModelConfig):
 
         return load_reference_checkpoint(model_path, mcfg)
     from mmtg_tpu.checkpoint import restore_train_state
+    from mmtg_tpu.configs import TrainConfig
     from mmtg_tpu.train import create_train_state
 
     key = jax.random.PRNGKey(0)
-    template, _ = create_train_state(key, mcfg, __import__(
-        "mmtg_tpu.configs", fromlist=["TrainConfig"]).TrainConfig(), 1, 1)
+    template, _ = create_train_state(key, mcfg, TrainConfig(), 1, 1)
     if os.path.basename(model_path).startswith("orbax"):
         candidates = [model_path]
     else:
@@ -115,6 +115,13 @@ def main(argv=None) -> None:
     )
 
     tokenizer = WordPieceTokenizer.from_file(args.tokenizer_path)
+    test_data = MMTGDataset(args.data_path, tokenizer, dcfg, if_train=False)
+    logger.info("Data test loaded: %d rows × %d samples", len(test_data),
+                args.n_samples)
+    if len(test_data) == 0:
+        logger.warning("Empty test set %s — nothing to generate.", args.data_path)
+        return
+
     params = load_params(args.model_path, mcfg)
     logger.info("Loaded model from %s", args.model_path)
     table = jnp.asarray(
@@ -122,10 +129,6 @@ def main(argv=None) -> None:
                                    dcfg.wenlan_emb_size)
     )
     const = {"wenlan_table": table}
-
-    test_data = MMTGDataset(args.data_path, tokenizer, dcfg, if_train=False)
-    logger.info("Data test loaded: %d rows × %d samples", len(test_data),
-                args.n_samples)
 
     rows_per_batch = max(args.batch_size // args.n_samples, 1)
     rng = jax.random.PRNGKey(args.seed)

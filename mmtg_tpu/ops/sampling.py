@@ -5,9 +5,10 @@ Reimplements the reference's batch-1 sampling pipeline
 whole batch decodes in one fused XLA program:
 
   * repetition penalty: unconditional division of already-seen token
-    logits (faithful to ``generate.py:127-131`` — including its behavior
-    on negative logits), exemptions {PAD=0, SEP=102}, tracked with a
-    per-row seen-token mask instead of a Python ``set``;
+    logits once PER OCCURRENCE (faithful to ``generate.py:127-131`` —
+    including its behavior on negative logits and the non-deduping
+    tensor-set quirk), exemptions {PAD=0, SEP=102}, tracked with a
+    per-row occurrence-count table instead of a Python ``set``;
   * temperature, then hard bans on {[#START#], [#EOS#], [UNK], [SEP]}
     (``generate.py:132-136``);
   * forced PAD when the previous token is PAD (``generate.py:137-138``);
@@ -32,20 +33,26 @@ DEFAULT_PENALTY_EXEMPT = (SPECIAL.pad_id, SPECIAL.sep_id)
 
 def apply_repetition_penalty(
     logits: jnp.ndarray,
-    seen_mask: jnp.ndarray,
+    seen_counts: jnp.ndarray,
     penalty: float,
     exempt_ids: Sequence[int] = DEFAULT_PENALTY_EXEMPT,
 ) -> jnp.ndarray:
-    """Divide logits of seen tokens by ``penalty`` (``generate.py:127-131``).
+    """Divide seen-token logits by ``penalty`` once PER OCCURRENCE.
+
+    Faithful to ``generate.py:127-131``: the reference's
+    ``set(generated[0])`` is a set of 0-dim torch *tensors* (id-based
+    ``__hash__``), so it never dedupes — a token that occurred ``n`` times
+    is divided ``n`` times, i.e. ``logits / penalty**n``.
 
     Args:
       logits: ``[B, V]``.
-      seen_mask: ``[B, V]`` bool/0-1 — token appeared in the row so far.
+      seen_counts: ``[B, V]`` int (or bool = 0/1 counts) — occurrence
+        count of each token in the row so far.
     """
-    seen = seen_mask.astype(bool)
+    counts = seen_counts.astype(logits.dtype)
     if exempt_ids:
-        seen = seen.at[:, jnp.asarray(exempt_ids)].set(False)
-    return jnp.where(seen, logits / penalty, logits)
+        counts = counts.at[:, jnp.asarray(exempt_ids)].set(0)
+    return logits * jnp.power(jnp.asarray(penalty, logits.dtype), -counts)
 
 
 def ban_tokens(
@@ -98,7 +105,7 @@ def _nucleus_mask_sorted(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarra
 def sample_next_token(
     key: jax.Array,
     logits: jnp.ndarray,
-    seen_mask: jnp.ndarray,
+    seen_counts: jnp.ndarray,
     last_token: jnp.ndarray,
     temperature: float = 1.0,
     top_k: int = 0,
@@ -115,13 +122,14 @@ def sample_next_token(
 
     Args:
       logits: ``[B, V]`` next-token logits.
-      seen_mask: ``[B, V]`` tokens generated so far (incl. prompt).
+      seen_counts: ``[B, V]`` occurrence counts of tokens generated so
+        far (incl. prompt); bool works as 0/1 counts.
       last_token: ``[B]`` previous token id (PAD forces PAD).
     Returns:
       ``[B]`` int32 sampled token ids.
     """
     if repetition_penalty != 1.0:
-        logits = apply_repetition_penalty(logits, seen_mask, repetition_penalty)
+        logits = apply_repetition_penalty(logits, seen_counts, repetition_penalty)
     logits = logits / temperature
     logits = ban_tokens(logits)
     if top_k > 0:

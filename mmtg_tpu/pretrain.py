@@ -46,7 +46,7 @@ def pack_corpus(
         if not line:
             continue
         ids = [start_id] + tokenizer.encode(line) + [eos_id]
-        if len(cur) + len(ids) > seq_len:
+        if cur and len(cur) + len(ids) > seq_len:
             rows.append(cur + [SPECIAL.pad_id] * (seq_len - len(cur)))
             cur = []
         if len(ids) > seq_len:
@@ -108,12 +108,15 @@ def main(argv=None) -> None:
 
     steps_per_epoch = math.ceil(len(rows) / args.batch_size)
     total = steps_per_epoch * args.epochs
+    warmup = max(int(total * args.warmup_ratio), 1)
+    # decay spans the REMAINING total - warmup steps so lr hits 0 exactly
+    # at the end (matches train.make_schedule)
     sched = optax.join_schedules(
         [
-            optax.linear_schedule(0.0, args.lr, max(int(total * args.warmup_ratio), 1)),
-            optax.linear_schedule(args.lr, 0.0, max(total, 1)),
+            optax.linear_schedule(0.0, args.lr, warmup),
+            optax.linear_schedule(args.lr, 0.0, max(total - warmup, 1)),
         ],
-        [max(int(total * args.warmup_ratio), 1)],
+        [warmup],
     )
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched, eps=1e-6))
     opt_state = tx.init(params)

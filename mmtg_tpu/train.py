@@ -158,6 +158,17 @@ def make_train_step(mcfg, dcfg, tcfg, tx):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # Zero-kept curriculum batches are true no-ops: the reference
+        # ``continue``s before optimizer/scheduler (train.py:184-185), so
+        # neither AdamW moments (nonzero even with zero grads) nor the
+        # schedule count may advance.
+        keep = metrics["kept"] > 0
+        params = jax.tree.map(
+            lambda n, o: jnp.where(keep, n, o), params, state.params
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(keep, n, o), opt_state, state.opt_state
+        )
         return TrainState(params, opt_state, state.step + 1, rng), metrics
 
     return train_step
@@ -239,6 +250,29 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host pods")
     return p
+
+
+def epoch_for_step(
+    last_step: int,
+    n_samples: int,
+    batch_size: int,
+    curriculums: Tuple[int, int],
+    epochs: int,
+) -> int:
+    """Map a restored global step count to the epoch to resume at.
+
+    Stage-1 epochs run at 2x batch size, so they have fewer steps
+    (reference train.py:130-135). Epoch-boundary checkpoints (last_step
+    == cumulative steps of epoch e) resume at epoch e+1; a mid-epoch
+    step count replays its containing epoch. Returns ``epochs`` when
+    training already completed."""
+    cum = 0
+    for e in range(epochs):
+        bs = 2 * batch_size if stage_for_epoch(e, curriculums) == 1 else batch_size
+        cum += math.ceil(n_samples / bs)
+        if last_step < cum:
+            return e
+    return epochs
 
 
 def parse_curriculums(s: str) -> Tuple[int, int]:
@@ -362,7 +396,19 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
             os.path.join(args.save_path, "orbax"), state
         )
         if last_step >= 0:
-            logger.info("Resumed from step %d", last_step)
+            # Resume the epoch loop where the restored step left off —
+            # otherwise a stage-3 model would replay curriculum stage 1
+            # against an already-advanced LR schedule.
+            start_epoch = epoch_for_step(
+                last_step, len(train_data), tcfg.batch_size, curriculums,
+                tcfg.epochs,
+            )
+            logger.info("Resumed from step %d (epoch %d)", last_step, start_epoch)
+            if start_epoch >= tcfg.epochs:
+                logger.warning(
+                    "Checkpoint at step %d already covers all %d epochs; "
+                    "nothing to train.", last_step, tcfg.epochs,
+                )
 
     mesh = make_mesh(
         None
@@ -375,13 +421,13 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
         )
         return _train_loop(
             state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data,
-            curriculums, args, logger, mesh,
+            curriculums, args, logger, mesh, start_epoch=start_epoch,
         )
 
 
 def _train_loop(
     state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data, curriculums,
-    args, logger, mesh,
+    args, logger, mesh, start_epoch: int = 0,
 ) -> float:
     train_step = make_train_step(mcfg, dcfg, tcfg, tx)
     eval_step = make_eval_step(mcfg, dcfg, tcfg)
@@ -390,7 +436,7 @@ def _train_loop(
     val_loss = float("inf")
     rng_np = np.random.default_rng(tcfg.seed)
 
-    for epoch in range(tcfg.epochs):
+    for epoch in range(start_epoch, tcfg.epochs):
         t1 = time.time()
         stage = stage_for_epoch(epoch, curriculums)
         # stage 1 runs 2× batch then filters (reference train.py:128-135)

@@ -48,6 +48,25 @@ def test_generate_parser_reference_flags():
     assert args.topk == 10 and args.save_samples
 
 
+def test_generate_empty_test_set_exits_cleanly(tmp_path, reference_vocab_path):
+    """An empty test pickle logs a warning and returns (no IndexError on
+    rows[-1], no model load needed)."""
+    import pickle
+
+    from mmtg_tpu.generate import main as gen_main
+
+    empty_pkl = tmp_path / "empty.pkl"
+    with open(empty_pkl, "wb") as f:
+        pickle.dump([], f)
+    gen_main(
+        [
+            "--data_path", str(empty_pkl),
+            "--model_path", str(tmp_path / "nonexistent"),
+            "--tokenizer_path", reference_vocab_path,
+        ]
+    )  # must not raise
+
+
 def test_swap_probe_swaps_only_embeddings():
     row = {
         "img_embs": np.arange(10, dtype=np.float32).reshape(5, 2),
@@ -168,7 +187,16 @@ def test_train_cli_resume(tmp_path, tiny_model_cfg, tiny_data_cfg,
     _, step1 = restore_train_state(os.path.join(str(save), "orbax"), template)
     assert step1 == 2
 
-    # resume: second run continues, saving a later step
+    # resume with the SAME epoch budget: training already completed, so
+    # the epoch loop must not replay epoch 0 (start_epoch fix) — no-op
     train_main(common + ["--resume"], mcfg=mcfg, dcfg=tiny_data_cfg)
+    _, step_same = restore_train_state(os.path.join(str(save), "orbax"), template)
+    assert step_same == 2
+
+    # resume with a raised epoch budget: continues from epoch 1, saving
+    # a later step
+    common2 = list(common)
+    common2[common2.index("--epochs") + 1] = "2"
+    train_main(common2 + ["--resume"], mcfg=mcfg, dcfg=tiny_data_cfg)
     _, step2 = restore_train_state(os.path.join(str(save), "orbax"), template)
     assert step2 == 4

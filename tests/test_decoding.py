@@ -69,6 +69,17 @@ def test_repetition_penalty_faithful_division():
     np.testing.assert_allclose(np.asarray(out)[0], [1.0, -1.0, 1.0, 3.0])
 
 
+def test_repetition_penalty_per_occurrence():
+    # generate.py:127-131 builds set(generated[0]) of 0-dim TENSORS — the
+    # set never dedupes, so a token repeated n times is divided n times.
+    logits = jnp.asarray([[8.0, -8.0, 1.0, 3.0]])
+    counts = jnp.asarray([[3, 2, 0, 5]])
+    out = apply_repetition_penalty(logits, counts, 2.0, exempt_ids=(3,))
+    np.testing.assert_allclose(
+        np.asarray(out)[0], [1.0, -2.0, 1.0, 3.0], rtol=1e-6
+    )
+
+
 def test_frame_positions():
     # (i+2) % 22 == 0 → EOS; == 1 → START; i=0 is never forced
     forced = []
@@ -104,8 +115,8 @@ def _reference_style_decode(params, const, mcfg, dcfg, gcfg, batch, rng):
     V = mcfg.gpt2.vocab_size
     tokens = np.full((B, gcfg.length + 1), 0, np.int32)
     tokens[:, 0] = SPECIAL.start_id
-    seen = np.zeros((B, V), bool)
-    seen[:, SPECIAL.start_id] = True
+    seen = np.zeros((B, V), np.int32)
+    seen[:, SPECIAL.start_id] = 1
     for i in range(gcfg.length):
         is_forced, forced = frame_forced_token(jnp.asarray(i), dcfg.sent_frame_length)
         if bool(is_forced):
@@ -131,7 +142,7 @@ def _reference_style_decode(params, const, mcfg, dcfg, gcfg, batch, rng):
                 )
             )
         tokens[:, i + 1] = tok
-        seen[np.arange(B), tok] = True
+        seen[np.arange(B), tok] += 1
     return tokens
 
 

@@ -27,12 +27,39 @@ def test_bleu_no_overlap():
 
 
 def test_bleu_partial_hand_computed():
-    # hyp "abcd", ref "abce": unigram 3/4; bigram matches ab,bc = 2/3 → (2+1)/(3+1)
+    # hyp "abcd", ref "abce": unigram 3/4; bigram matches ab,bc = 2/3
+    # (method-1 smoothing touches only ZERO numerators)
     res = corpus_bleu([list("abcd")], [[list("abce")]])
     assert res["p1"] == pytest.approx(3 / 4)
-    assert res["p2"] == pytest.approx(3 / 4)  # (2+1)/(3+1) smoothed
+    assert res["p2"] == pytest.approx(2 / 3)
     assert res["bp"] == pytest.approx(1.0)
-    assert res["bleu2"] == pytest.approx(math.sqrt(0.75 * 0.75))
+    assert res["bleu2"] == pytest.approx(math.sqrt(0.75 * 2 / 3))
+
+
+def test_bleu_matches_nltk_method1():
+    """Direct oracle: our corpus BLEU == nltk corpus_bleu with
+    SmoothingFunction(epsilon=0.1).method1 (the paper-comparable setup)."""
+    nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
+    hyps = [list("青山一道同云雨"), list("明月何曾是两乡"), list("abcd")]
+    refs = [
+        [list("青山一道"), list("同云雨共风雪")],
+        [list("明月何曾是两乡啊")],
+        [list("wxyz")],
+    ]
+    sm = nltk_bleu.SmoothingFunction(epsilon=0.1).method1
+    ours = corpus_bleu(hyps, refs)
+    for n in range(1, 5):
+        w = tuple(1 / n for _ in range(n))
+        expected = nltk_bleu.corpus_bleu(refs, hyps, weights=w, smoothing_function=sm)
+        assert ours[f"bleu{n}"] == pytest.approx(float(expected), rel=1e-9), n
+
+
+def test_bleu_no_unigram_overlap_is_zero_like_nltk():
+    nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
+    hyps, refs = [list("aaaa")], [[list("bbbb")]]
+    sm = nltk_bleu.SmoothingFunction(epsilon=0.1).method1
+    expected = nltk_bleu.corpus_bleu(refs, hyps, weights=(1.0,), smoothing_function=sm)
+    assert corpus_bleu(hyps, refs)["bleu1"] == pytest.approx(float(expected)) == 0.0
 
 
 def test_brevity_penalty():

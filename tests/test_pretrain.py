@@ -28,6 +28,18 @@ def test_pack_respects_row_boundary(tokenizer):
     assert len(rows) == 4
 
 
+def test_pack_long_line_no_all_pad_row(tokenizer):
+    # an over-long line arriving while cur is empty must not flush an
+    # all-PAD row (wasted zero-weight steps)
+    lines = ["一二三四五六七八九十一二三四五六七八九十"]  # 22 framed ids > 16
+    rows = pack_corpus(lines, tokenizer, seq_len=16)
+    assert len(rows) == 1
+    assert (rows != 0).any(axis=1).all()  # no all-PAD rows
+    # and the same at the front of a longer corpus
+    rows2 = pack_corpus(lines + ["青山一道"], tokenizer, seq_len=16)
+    assert (rows2 != 0).any(axis=1).all()
+
+
 def test_lm_loss_pad_length_invariant():
     """Trailing PAD is masked out as both keys and targets: extending the
     pad tail must not change the loss."""

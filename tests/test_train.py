@@ -100,6 +100,58 @@ def test_stage_changes_kept_count(setup):
     assert kept[2] == batch["rating"].shape[0]
 
 
+def test_epoch_for_step():
+    from mmtg_tpu.train import epoch_for_step
+
+    # 10 samples, bs 2, curriculums (1,3): stage-1 epoch runs at 2x bs
+    # (4) -> 3 steps; later epochs -> 5 steps. Cumulative: 3,8,13,18,23.
+    cur, epochs = (1, 3), 5
+    assert epoch_for_step(0, 10, 2, cur, epochs) == 0
+    assert epoch_for_step(2, 10, 2, cur, epochs) == 0  # mid epoch 0: replay
+    assert epoch_for_step(3, 10, 2, cur, epochs) == 1  # boundary: next epoch
+    assert epoch_for_step(8, 10, 2, cur, epochs) == 2
+    assert epoch_for_step(13, 10, 2, cur, epochs) == 3
+    assert epoch_for_step(22, 10, 2, cur, epochs) == 4
+    assert epoch_for_step(23, 10, 2, cur, epochs) == 5  # fully trained
+
+
+def test_zero_kept_batch_is_noop(setup):
+    """A batch the curriculum filters out entirely must not move params,
+    AdamW moments, or the schedule count (reference train.py:184-185
+    ``continue``s before optimizer/scheduler)."""
+    mcfg, dcfg, batch, const = setup
+    tcfg = TrainConfig(lr=3e-3, alpha=0.2)
+    state, tx = create_train_state(
+        jax.random.PRNGKey(4), mcfg, tcfg, warmup_steps=2, total_steps=50
+    )
+    train_step = make_train_step(mcfg, dcfg, tcfg, tx)
+    # warm AdamW moments so a frozen schedule/moment is actually observable
+    state, _ = train_step(state, const, batch, jnp.asarray(3))
+
+    params_before = jax.device_get(state.params)
+    opt_before = jax.device_get(state.opt_state)
+    # stage 1 keeps rating<2 or >4 — all-3 ratings leave nothing
+    zb = dict(batch, rating=jnp.full_like(batch["rating"], 3.0))
+    state, metrics = train_step(state, const, zb, jnp.asarray(1))
+    assert float(metrics["kept"]) == 0.0
+    jax.tree.map(
+        np.testing.assert_array_equal, jax.device_get(state.params), params_before
+    )
+    jax.tree.map(
+        np.testing.assert_array_equal, jax.device_get(state.opt_state), opt_before
+    )
+    # ...while a kept batch does move params
+    state, metrics = train_step(state, const, batch, jnp.asarray(3))
+    assert float(metrics["kept"]) > 0
+    moved = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+            jax.device_get(state.params), params_before,
+        )
+    )
+    assert max(moved) > 0
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     mcfg, dcfg, batch, const = setup
     from mmtg_tpu.checkpoint import restore_train_state, save_train_state
