@@ -32,6 +32,11 @@ def setup_logger(log_path: Optional[str] = None, name: str = "mmtg_tpu") -> logg
         datefmt="%Y-%m-%d %H:%M:%S",
     )
     if log_path:
+        import os
+
+        parent = os.path.dirname(log_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         fh = logging.FileHandler(log_path)
         fh.setFormatter(fmt)
         logger.addHandler(fh)

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""One-command logits-parity harness against a reference checkpoint.
+
+The BASELINE.md north star is bit-faithful logits vs the PyTorch
+reference checkpoint (``mmtg_ckpt.pth``). This tool makes that check a
+single command for the day the real checkpoint is available — and runs
+end-to-end today against any reference-format ``.pth`` (e.g. one written
+by ``tests/test_mmtg_parity.py``'s save path, or a synthetic one made
+with ``--make-synthetic-ckpt``):
+
+  1. import the ``.pth`` into our JAX param tree
+     (``checkpoint.load_reference_checkpoint``, handles the DataParallel
+     ``module.`` prefix — reference ``generate.py:188-192`` load path);
+  2. load the SAME state dict into a torch/HF oracle with the
+     reference's module layout (``mmtg_tpu.oracle``);
+  3. forward fixture batches through both and print a max-abs-diff JSON
+     line; exit nonzero if above ``--atol``.
+
+Runs on CPU by default (f32, deterministic; parity is a numerics check,
+not a perf check).
+
+Usage:
+  python scripts/parity_check.py --ckpt mmtg_ckpt.pth \
+      --data data/final_test.pkl --vocab vocab/vocab.txt \
+      --token_emb_path vocab/token_id2emb_dict.pkl
+  python scripts/parity_check.py --make-synthetic-ckpt /tmp/ckpt.pth \
+      --ckpt /tmp/ckpt.pth --data data/final_test.pkl ...
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True, help="reference-format .pth")
+    p.add_argument("--data", required=True, help="test/val pkl (reference schema)")
+    p.add_argument("--vocab", default="vocab/vocab.txt")
+    p.add_argument("--token_emb_path", default="vocab/token_id2emb_dict.pkl")
+    p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--max_batches", default=2, type=int)
+    p.add_argument("--atol", default=5e-4, type=float,
+                   help="max-abs logits diff to accept (f32 accumulation "
+                        "order differs between XLA and torch)")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                   help="cpu (default) = deterministic f32 parity")
+    p.add_argument("--make-synthetic-ckpt", default="",
+                   help="first write a random reference-format .pth here "
+                        "(full-size model) so the harness can self-demo")
+    args = p.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mmtg_tpu.checkpoint import load_reference_checkpoint
+    from mmtg_tpu.configs import DataConfig, ModelConfig
+    from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
+    from mmtg_tpu.models.mmtg import mmtg_forward_train
+    from mmtg_tpu.oracle import build_oracle, oracle_forward
+    from mmtg_tpu.tokenizer import WordPieceTokenizer
+
+    mcfg, dcfg = ModelConfig(), DataConfig()
+
+    if args.make_synthetic_ckpt:
+        oracle = build_oracle(mcfg)
+        wrapped = {"module." + k: v for k, v in oracle.state_dict().items()}
+        torch.save(
+            {"model": wrapped, "args": {}, "model_cfgs": {}},
+            args.make_synthetic_ckpt,
+        )
+        print(f"wrote synthetic reference-format ckpt: {args.make_synthetic_ckpt}",
+              file=sys.stderr)
+
+    tokenizer = WordPieceTokenizer.from_file(args.vocab)
+    table = load_token_embedding_table(
+        args.token_emb_path, len(tokenizer), dcfg.wenlan_emb_size
+    )
+
+    # both sides from the SAME .pth
+    params = load_reference_checkpoint(args.ckpt, mcfg)
+    oracle = build_oracle(mcfg)
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    sd = raw["model"] if isinstance(raw, dict) and "model" in raw else raw
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    missing, unexpected = oracle.load_state_dict(sd, strict=False)
+    # HF buffers (attn.bias etc.) are regenerated; real params must all load
+    missing = [k for k in missing if not k.endswith((".attn.bias", ".attn.masked_bias"))]
+    if missing:
+        raise SystemExit(f"oracle missing params from ckpt: {missing[:5]}...")
+
+    # if_train=False: test pkls carry no ratings; targets are still built
+    ds = MMTGDataset(args.data, tokenizer, dcfg, if_train=False)
+    const = {"wenlan_table": jnp.asarray(table)}
+
+    worst, results = 0.0, []
+    for bi, batch in enumerate(ds.batches(args.batch_size)):
+        if bi >= args.max_batches:
+            break
+        batch.pop("sample_mask", None)
+        with torch.no_grad():
+            ref_logits, ref_kl = oracle_forward(
+                oracle, mcfg, dcfg, batch, table, mcfg.self_att_heads
+            )
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = mmtg_forward_train(params, const, mcfg, dcfg, jb, deterministic=True)
+        diff = np.abs(np.asarray(out.logits) - ref_logits.numpy())
+        kl_diff = abs(float(out.kl_per_sample.mean()) - float(ref_kl))
+        results.append(
+            {"batch": bi, "max_abs_logits_diff": float(diff.max()),
+             "mean_abs_logits_diff": float(diff.mean()), "kl_abs_diff": kl_diff}
+        )
+        worst = max(worst, float(diff.max()))
+
+    ok = worst <= args.atol
+    print(json.dumps({
+        "ckpt": args.ckpt, "batches": len(results), "atol": args.atol,
+        "max_abs_logits_diff": worst, "ok": ok, "per_batch": results,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

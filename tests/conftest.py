@@ -16,7 +16,14 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-REFERENCE_VOCAB = "/root/reference/src/vocab/vocab.txt"
+# The in-repo vocab data asset (see vocab/README.md); the reference mount
+# is only a fallback so tests run on a fresh clone.
+_REPO_VOCAB = os.path.join(os.path.dirname(__file__), "..", "vocab", "vocab.txt")
+REFERENCE_VOCAB = (
+    os.path.abspath(_REPO_VOCAB)
+    if os.path.exists(_REPO_VOCAB)
+    else "/root/reference/src/vocab/vocab.txt"
+)
 
 
 @pytest.fixture(scope="session")
@@ -27,7 +34,7 @@ def rng():
 @pytest.fixture(scope="session")
 def reference_vocab_path():
     if not os.path.exists(REFERENCE_VOCAB):
-        pytest.skip("reference vocab.txt not available")
+        pytest.skip("vocab.txt not available")
     return REFERENCE_VOCAB
 
 

@@ -23,136 +23,8 @@ from mmtg_tpu.models.mmtg import mmtg_forward_train
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
-
-def build_oracle(mcfg):
-    """torch module tree with the reference's state-dict key layout."""
-    H = mcfg.topic.hidden_dim
-    E = mcfg.topic.input_dim
-    nn = torch.nn
-
-    class Alpha(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.query = nn.Linear(H, H)
-            self.key = nn.Linear(H, H)
-            self.value = nn.Linear(H, H)
-
-    class Enc(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.topic_fc = nn.Linear(E, H)
-            self.rnns_image = nn.GRU(E, H, num_layers=1)
-            self.rnns_text = nn.GRU(E, H, num_layers=1)
-
-    class MM(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.att_matrices = nn.ModuleList(
-                [nn.Linear(H, mcfg.mm_att_dim) for _ in range(mcfg.seq_len)]
-            )
-            self.out_linear = nn.Linear(H, mcfg.mm_att_out_dim)
-
-    class Dec(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.projector_layer1 = nn.Linear(mcfg.mm_att_out_dim, 512)
-            self.projector_layer2 = nn.Linear(512, mcfg.gpt2.n_embd)
-            self.gpt2 = transformers.GPT2LMHeadModel(
-                transformers.GPT2Config(
-                    vocab_size=mcfg.gpt2.vocab_size,
-                    n_positions=mcfg.gpt2.n_positions,
-                    n_embd=mcfg.gpt2.n_embd,
-                    n_layer=mcfg.gpt2.n_layer,
-                    n_head=mcfg.gpt2.n_head,
-                    attn_implementation="eager",
-                )
-            )
-
-    class Oracle(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.encoder = Enc()
-            self.ln_layer1 = nn.LayerNorm(H)
-            self.ln_layer2 = nn.LayerNorm(H)
-            self.ln_layer3 = nn.LayerNorm(H)
-            self.img_inner_atten_layer = Alpha()
-            self.text_inner_atten_layer = Alpha()
-            self.mm_atten_layer = MM()
-            self.decoder = Dec()
-
-    torch.manual_seed(0)
-    return Oracle().eval()
-
-
-def oracle_forward(oracle, mcfg, dcfg, batch, wenlan_table, heads):
-    """Reference-semantics forward in torch (teacher-forced branch)."""
-    t = lambda k, dt=torch.float32: torch.tensor(batch[k]).to(dt)
-    topic = t("topic_emb")
-    img = t("img_embs").transpose(0, 1)  # [T, B, E]
-    txt = t("r_embs").transpose(0, 1)
-
-    topic_o = oracle.ln_layer1(oracle.encoder.topic_fc(topic).unsqueeze(0))
-    img_o = oracle.ln_layer2(oracle.encoder.rnns_image(img)[0])
-    txt_o = oracle.ln_layer3(oracle.encoder.rnns_text(txt)[0])
-
-    def alpha(layer, x):  # x: [B, T, H]
-        B, T, H = x.shape
-        hd = H // heads
-        rs = lambda v: v.view(B, T, heads, hd).permute(0, 2, 1, 3)
-        q, k, v = rs(layer.query(x)), rs(layer.key(x)), rs(layer.value(x))
-        probs = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(hd), dim=-1)
-        from mmtg_tpu.models.attention import gaussian_step_priors
-
-        prior = torch.tensor(gaussian_step_priors(T))
-        kl = 0.0
-        for i in range(T):
-            pi = prior[i]
-            kl = kl + (pi * (pi.log() - probs[:, :, i, :].log())).sum() / B
-        ctx = (probs @ v).permute(0, 2, 1, 3).reshape(B, T, H)
-        return ctx, kl / T
-
-    img_ctx, img_kl = alpha(oracle.img_inner_atten_layer, img_o.transpose(0, 1))
-    txt_ctx, txt_kl = alpha(oracle.text_inner_atten_layer, txt_o.transpose(0, 1))
-
-    # beta attention, literal per-step loop (model.py:191-200)
-    B = topic.shape[0]
-    fused = torch.zeros(mcfg.seq_len, B, mcfg.mm_att_out_dim)
-    tp = topic_o.transpose(0, 1)  # [B, 1, H]
-    for i in range(mcfg.seq_len):
-        lin = oracle.mm_atten_layer.att_matrices[i]
-        stacked = torch.cat(
-            [tp, img_ctx[:, i : i + 1], txt_ctx[:, i : i + 1]], dim=1
-        )  # [B, 3, H]
-        att = torch.softmax(lin(stacked).permute(0, 2, 1), dim=-1)  # [B, 1, 3]
-        out = att @ stacked  # [B, 1, H]
-        fused[i] = oracle.mm_atten_layer.out_linear(out)[:, 0]
-    fused = fused.transpose(0, 1)  # [B, T, out_dim]
-
-    # decoder embedding assembly (model.py:251-281)
-    wl = torch.tensor(wenlan_table)
-    topic_wl = wl[t("topic_ids", torch.long)]
-    tgt_ids = t("targets", torch.long)
-    tgt_wl = wl[tgt_ids].clone()
-    win = dcfg.two_sents_length
-    for k in range(mcfg.seq_len):
-        tgt_wl[:, win * k : win * (k + 1)] += fused[:, k : k + 1]
-    embs = torch.cat([topic_wl, tgt_wl], dim=1)
-    gpt_in = oracle.decoder.projector_layer2(
-        torch.tanh(oracle.decoder.projector_layer1(embs))
-    )
-    type_ids = torch.cat(
-        [t("tpw_type_ids", torch.long), t("type_ids", torch.long)], dim=1
-    )
-    mask = torch.cat(
-        [t("tpw_attention_mask", torch.long), t("attention_mask", torch.long)], dim=1
-    )
-    res = oracle.decoder.gpt2(
-        inputs_embeds=gpt_in,
-        token_type_ids=type_ids,
-        attention_mask=mask,
-        return_dict=True,
-    )
-    return res.logits, img_kl + txt_kl
+# oracle lives in the package so scripts/parity_check.py shares it
+from mmtg_tpu.oracle import build_oracle, oracle_forward
 
 
 def test_full_forward_parity(tiny_model_cfg, tiny_data_cfg, tokenizer, rng):
