@@ -78,7 +78,7 @@ generate.clear_cache = _clear_cache
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "dcfg", "gcfg"),
+    static_argnames=("mcfg", "dcfg", "gcfg", "tp_axis"),
 )
 def _generate_jit(
     params: Dict,
@@ -88,6 +88,7 @@ def _generate_jit(
     gcfg: GenerateConfig,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    tp_axis: str | None = None,
 ) -> jnp.ndarray:
     """Generate lyrics for a whole batch in one compiled program.
 
@@ -116,6 +117,23 @@ def _generate_jit(
         attn_impl = (
             "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         )
+    # Mosaic lane alignment: the decode kernel slices the cache's trailing
+    # dim, which must be a 128 multiple. TP shards (D/tp) and tiny test
+    # models can violate that — fall back to the XLA path there.
+    d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
+    if attn_impl == "pallas" and d_kv % 128 != 0:
+        attn_impl = "xla"
+    # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
+    # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
+    # CLI) up to a multiple of 8 and slice the tokens back at the end.
+    orig_B = B
+    pad_b = (-B) % 8 if attn_impl == "pallas" else 0
+    if pad_b:
+        batch = {
+            k: jnp.concatenate([v, jnp.zeros((pad_b,) + v.shape[1:], v.dtype)])
+            for k, v in batch.items()
+        }
+        B = orig_B + pad_b
 
     # ---- encoder runs ONCE (the reference re-runs it per token) ----------
     fused, _ = encode_experiences(
@@ -148,6 +166,7 @@ def _generate_jit(
         attn_mask,
         capacity,
         quantized=gcfg.cache_dtype == "int8",
+        tp_axis=tp_axis,
     )
 
     key_mask = jnp.zeros((B, capacity), jnp.int32)
@@ -195,7 +214,7 @@ def _generate_jit(
         key_mask = jax.lax.dynamic_update_slice(key_mask, not_pad[:, None], (0, P + j))
         logits, cache = gpt2_decode_step(
             params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask,
-            window=window, attn_impl=attn_impl,
+            window=window, attn_impl=attn_impl, tp_axis=tp_axis,
         )
         return (cache, key_mask, tokens, seen, logits), None
 
@@ -206,7 +225,7 @@ def _generate_jit(
     carry = (cache, key_mask, tokens, seen, prefill_logits[:, -1])
     carry, _ = jax.lax.scan(partial(step, window=None), carry, jnp.arange(length))
     (cache, key_mask, tokens, seen, _) = carry
-    return tokens
+    return tokens[:orig_B] if pad_b else tokens
 
 
 def postprocess_tokens(token_ids, tokenizer) -> str:
@@ -239,30 +258,64 @@ def generate_sharded(
     rng: jax.Array,
     mesh,
 ) -> jnp.ndarray:
-    """Data-parallel generation over a device mesh.
+    """Data×tensor-parallel generation over a device mesh.
 
-    Each ``data``-axis shard decodes its local batch slice with the full
-    replicated model (the per-shard RNG folds in the shard index so rows
-    sample independently). This is the multi-chip serving path — the
-    reference's only scale-out is single-process ``nn.DataParallel``
-    (``generate.py:191``); here a v4-8/v5e-pod slice saturates by sharding
-    the batch over ICI with zero communication during the decode loop.
+    Each ``data``-axis shard decodes its local batch slice (the per-shard
+    RNG folds in the data index so rows sample independently). When the
+    mesh's ``model`` axis is >1, the GPT-2 decoder runs Megatron-style
+    tensor-parallel within each data shard: head-aligned QKV/MLP-fc
+    column shards, row-parallel projections with a ``psum`` over ICI, and
+    the KV cache sharded over heads — so the per-device cache (the decode
+    loop's dominant HBM traffic) shrinks by the TP factor. The reference's
+    only scale-out is single-process ``nn.DataParallel``
+    (``generate.py:191``).
     """
-    from jax.experimental.shard_map import shard_map
+    import dataclasses
+
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from mmtg_tpu.parallel.mesh import DATA_AXIS
+    from mmtg_tpu.parallel.mesh import (
+        DATA_AXIS,
+        MODEL_AXIS,
+        decode_param_pspecs,
+        tp_decode_params,
+    )
 
-    def local_generate(params, const, batch, rng):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        return generate(params, const, mcfg, dcfg, gcfg, batch, rng)
-
+    tp = mesh.shape[MODEL_AXIS]
     batch_spec = {k: P(DATA_AXIS) for k in batch}
+    if tp == 1:
+        def local_generate(params, const, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            return generate(params, const, mcfg, dcfg, gcfg, batch, rng)
+
+        fn = shard_map(
+            local_generate,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_spec, P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        return fn(params, const, batch, rng)
+
+    # --- DP × TP ---------------------------------------------------------
+    gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
+    params = tp_decode_params(params, mcfg.gpt2.n_head, mcfg.gpt2.head_dim, tp)
+    pspecs = decode_param_pspecs(params)
+
+    def local_generate_tp(params, const, batch, rng):
+        # same rng for all model shards of a data slice (they must sample
+        # identical tokens); independent per data shard
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        return _generate_jit(
+            params, const, mcfg, dcfg, gcfg, batch, rng, tp_axis=MODEL_AXIS
+        )
+
     fn = shard_map(
-        local_generate,
+        local_generate_tp,
         mesh=mesh,
-        in_specs=(P(), P(), batch_spec, P()),
+        in_specs=(pspecs, P(), batch_spec, P()),
         out_specs=P(DATA_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(params, const, batch, rng)

@@ -157,6 +157,7 @@ def gpt2_forward(
     deterministic: bool = True,
     return_kv: bool = False,
     remat: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Full-sequence (teacher-forced / prefill) forward.
 
@@ -169,9 +170,16 @@ def gpt2_forward(
         (``jax.checkpoint`` on the layer scan body) — trades ~33% extra
         forward FLOPs for O(1-layer) instead of O(12-layer) activation
         memory; required for batch-256 training in 16GB HBM.
+      tp_axis: Megatron-style tensor parallelism under ``shard_map``: the
+        caller holds this device's HEAD-ALIGNED param shard (see
+        ``parallel.mesh.regroup_qkv_for_tp`` + ``decode_param_pspecs``) —
+        QKV/MLP-fc column-parallel, attn-proj/MLP-proj row-parallel with
+        a ``psum`` over ``tp_axis`` before the (replicated) bias. The
+        local head count is derived from the param shapes, so the same
+        code serves both the unsharded and per-shard cases.
     Returns:
       (logits ``[B, T, V]``, optionally per-layer (k, v) each
-      ``[L, B, H, T, hd]`` for cache prefill).
+      ``[L, B, H_local, T, hd]`` for cache prefill).
     """
     B, T, D = inputs_embeds.shape
     h = inputs_embeds + jnp.take(params["wpe"], position_ids, axis=0)
@@ -191,7 +199,8 @@ def gpt2_forward(
         bias = bias + pad[:, None, None, :]
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, h.dtype))
-    n_head = cfg.n_head
+    # local head count from the (possibly TP-sharded) QKV shape
+    n_head = (params["h"]["attn_w"].shape[-1] // 3) // cfg.head_dim
 
     def block(carry, xs):
         h, layer_idx = carry
@@ -210,13 +219,19 @@ def gpt2_forward(
         if rng is not None:
             probs = _dropout(probs, cfg.attn_pdrop, k_attn)
         ctx = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
-        attn_out = ctx @ lp["attn_proj_w"] + lp["attn_proj_b"]
+        attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        attn_out = attn_out + lp["attn_proj_b"]
         if rng is not None:
             attn_out = _dropout(attn_out, cfg.resid_pdrop, k_resid1)
         h = h + attn_out
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
         m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
-        m = m @ lp["mlp_proj_w"] + lp["mlp_proj_b"]
+        m = m @ lp["mlp_proj_w"]  # row-parallel under TP
+        if tp_axis is not None:
+            m = jax.lax.psum(m, tp_axis)
+        m = m + lp["mlp_proj_b"]
         if rng is not None:
             m = _dropout(m, cfg.resid_pdrop, k_resid2)
         h = h + m
@@ -239,6 +254,7 @@ def gpt2_decode_step(
     key_mask: jnp.ndarray,
     window: Optional[int] = None,
     attn_impl: str = "xla",
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token KV-cached decode step.
 
@@ -258,11 +274,17 @@ def gpt2_decode_step(
       attn_impl: "xla" (masked softmax over the full window) or "pallas"
         (dynamic-length tile reads via
         :func:`mmtg_tpu.ops.decode_attention.decode_attention`).
+      tp_axis: tensor parallelism under ``shard_map`` (see
+        :func:`gpt2_forward`); the cache then holds only this shard's
+        heads (``D_kv = D / tp_size``) and attn/MLP projections psum.
     Returns:
       (logits ``[B, V]``, updated cache).
     """
     B, D = x_embed.shape
-    n_head, hd = cfg.n_head, cfg.head_dim
+    hd = cfg.head_dim
+    # local (possibly TP-sharded) head count + cache feature width
+    D_kv = params["h"]["attn_w"].shape[-1] // 3
+    n_head = D_kv // hd
     W = cache.capacity if window is None else window
     h = (
         x_embed
@@ -300,10 +322,10 @@ def gpt2_decode_step(
         else:
             k_store, v_store = k, v
         k_full = jax.lax.dynamic_update_slice(
-            k_full, k_store.reshape(1, B, 1, D), (l, 0, position, 0)
+            k_full, k_store.reshape(1, B, 1, D_kv), (l, 0, position, 0)
         )
         v_full = jax.lax.dynamic_update_slice(
-            v_full, v_store.reshape(1, B, 1, D), (l, 0, position, 0)
+            v_full, v_store.reshape(1, B, 1, D_kv), (l, 0, position, 0)
         )
         if attn_impl == "pallas":
             from mmtg_tpu.ops.decode_attention import (
@@ -342,11 +364,17 @@ def gpt2_decode_step(
                 "bhd,bthd->bht", qh, k_cache, preferred_element_type=jnp.float32
             ).astype(h.dtype) * scale
             probs = jax.nn.softmax(scores + bias[:, None, :], axis=-1)
-            ctx = jnp.einsum("bht,bthd->bhd", probs, v_cache).reshape(B, D)
-        h = h + ctx @ lp["attn_proj_w"] + lp["attn_proj_b"]
+            ctx = jnp.einsum("bht,bthd->bhd", probs, v_cache).reshape(B, D_kv)
+        attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        h = h + attn_out + lp["attn_proj_b"]
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
         m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
-        h = h + m @ lp["mlp_proj_w"] + lp["mlp_proj_b"]
+        m = m @ lp["mlp_proj_w"]  # row-parallel under TP
+        if tp_axis is not None:
+            m = jax.lax.psum(m, tp_axis)
+        h = h + m + lp["mlp_proj_b"]
         return h, k_full, v_full, ks_full, vs_full
 
     # None carries break fori_loop pytree matching → dummy zero-d arrays
@@ -371,10 +399,12 @@ def prefill_cache(
     attention_mask: jnp.ndarray,
     capacity: int,
     quantized: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt once, returning its logits and a cache padded to
     ``capacity`` (the encoder+prefix runs once; per-token cost becomes
-    O(T) instead of the reference's O(T²) re-forward, ``generate.py:124``)."""
+    O(T) instead of the reference's O(T²) re-forward, ``generate.py:124``).
+    Under ``tp_axis`` the cache holds only this shard's heads."""
     logits, kv = gpt2_forward(
         params,
         cfg,
@@ -384,6 +414,7 @@ def prefill_cache(
         attention_mask,
         deterministic=True,
         return_kv=True,
+        tp_axis=tp_axis,
     )
     k, v = kv  # each [L, B, H, T, hd] from the full forward
     L_, B_, H_, T, hd_ = k.shape

@@ -71,13 +71,20 @@ def fused_gru(
 
     T, B, _ = x.shape
     H = w_hh.shape[0]
-    if B % block_b != 0:
-        block_b = math.gcd(B, block_b)
-    x_proj = (x @ w_ih + b_ih).astype(jnp.float32)  # [T, B, 3H], one MXU op
+    # Mosaic needs the sublane (batch-block) dim divisible by 8: pad B up
+    # (pad rows compute garbage, sliced off below), then pick a block that
+    # divides it.
+    pad_b = (-B) % 8
+    if pad_b:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, 0)))
+    Bp = B + pad_b
+    if Bp % block_b != 0:
+        block_b = math.gcd(Bp, block_b)
+    x_proj = (x @ w_ih + b_ih).astype(jnp.float32)  # [T, Bp, 3H], one MXU op
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(B // block_b,),
+        grid=(Bp // block_b,),
         in_specs=[
             pl.BlockSpec(
                 (T, block_b, 3 * H), lambda b: (0, b, 0), memory_space=pltpu.VMEM
@@ -90,9 +97,10 @@ def fused_gru(
         ),
         scratch_shapes=[pltpu.VMEM((block_b, H), jnp.float32)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, T=T, H=H),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, B, H), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, Bp, H), x.dtype),
         interpret=interpret,
     )(x_proj, w_hh.astype(jnp.float32), b_hh.reshape(1, -1).astype(jnp.float32))
+    return out[:, :B] if pad_b else out

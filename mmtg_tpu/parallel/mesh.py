@@ -112,3 +112,87 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel DECODE layout (explicit shard_map path)
+# ---------------------------------------------------------------------------
+# Training TP goes through GSPMD (annotate + jit, above). The decode loop
+# instead runs under shard_map with per-device param shards, so the fused
+# QKV projection must be HEAD-ALIGNED: a plain last-dim split of the
+# [.., D, 3D] = [Q | K | V] column block would give shard 0 "all of Q plus
+# half of K" instead of "its heads' q, k and v".
+
+
+def regroup_qkv_for_tp(attn_w, attn_b, n_head: int, head_dim: int, n_shards: int):
+    """Reorder fused-QKV columns from [Q|K|V] (head-major within each) to
+    shard-major [q_s0|k_s0|v_s0 | q_s1|k_s1|v_s1 | ...], so a contiguous
+    last-dim split hands each TP shard exactly its heads' q/k/v columns."""
+    if n_head % n_shards:
+        raise ValueError(f"n_head {n_head} not divisible by tp={n_shards}")
+    L, D, threeD = attn_w.shape
+    chunk = (n_head // n_shards) * head_dim  # per-shard width of q (= k = v)
+    w = attn_w.reshape(L, D, 3, n_shards, chunk)
+    w = w.transpose(0, 1, 3, 2, 4).reshape(L, D, threeD)
+    b = attn_b.reshape(L, 3, n_shards, chunk)
+    b = b.transpose(0, 2, 1, 3).reshape(L, threeD)
+    return w, b
+
+
+def tp_decode_params(params: Dict, n_head: int, head_dim: int, n_shards: int) -> Dict:
+    """Copy of the MMTG param tree with the GPT-2 fused QKV regrouped for
+    an ``n_shards``-way TP decode (everything else unchanged)."""
+    out = dict(params)
+    gpt2 = dict(params["gpt2"])
+    h = dict(gpt2["h"])
+    h["attn_w"], h["attn_b"] = regroup_qkv_for_tp(
+        h["attn_w"], h["attn_b"], n_head, head_dim, n_shards
+    )
+    gpt2["h"] = h
+    out["gpt2"] = gpt2
+    return out
+
+
+def decode_param_pspecs(params: Dict) -> Dict:
+    """PartitionSpec tree for shard_map TP decode: column-parallel QKV /
+    MLP-fc (+ their biases), row-parallel attn-proj / MLP-proj; embeddings,
+    LNs, projection biases and all non-GPT-2 params replicated (the lm
+    head is computed redundantly per shard — one [B,D]x[D,V] matmul is
+    noise next to the cache traffic, and it saves an all-gather over the
+    vocab axis every step)."""
+    tp = {
+        "wte": P(),
+        "wpe": P(),
+        "h": {
+            "ln1_g": P(), "ln1_b": P(),
+            "attn_w": P(None, None, MODEL_AXIS),
+            "attn_b": P(None, MODEL_AXIS),
+            "attn_proj_w": P(None, MODEL_AXIS, None),
+            "attn_proj_b": P(),
+            "ln2_g": P(), "ln2_b": P(),
+            "mlp_fc_w": P(None, None, MODEL_AXIS),
+            "mlp_fc_b": P(None, MODEL_AXIS),
+            "mlp_proj_w": P(None, MODEL_AXIS, None),
+            "mlp_proj_b": P(),
+        },
+        "lnf_g": P(), "lnf_b": P(),
+    }
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(
+                walk(v, path + (str(i),)) for i, v in enumerate(tree)
+            )
+        if path and path[0] == "gpt2":
+            spec = tp
+            for key in path[1:]:
+                if isinstance(spec, dict) and key in spec:
+                    spec = spec[key]
+                else:
+                    return P()
+            return spec if isinstance(spec, P) else P()
+        return P()
+
+    return walk(params)

@@ -9,7 +9,7 @@ from mmtg_tpu.ops.fused_gru import fused_gru
 from mmtg_tpu.ops.rnn import init_rnn_params, rnn_forward
 
 
-@pytest.mark.parametrize("B", [4, 8])
+@pytest.mark.parametrize("B", [4, 8, 30])
 def test_matches_scan_gru(B):
     T, I, H = 5, 64, 32
     p = init_rnn_params(jax.random.PRNGKey(0), "GRU", I, H)["layers"][0]
