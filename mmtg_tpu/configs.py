@@ -165,6 +165,15 @@ class TrainConfig:
     dtype: str = "float32"  # compute dtype; 'bfloat16' for speed
     remat: bool = True  # rematerialize GPT-2 blocks in backward
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+    # "auto": fused Pallas train-attention kernel on TPU backends
+    # (ops/train_attention.py), XLA masked-softmax elsewhere.
+    attn_impl: str = "auto"
+    # Selective remat menu (models/gpt2.py:_REMAT_POLICIES): "full"
+    # re-runs the whole block in the backward; "save_qkv_ctx" /
+    # "save_ctx_fc1" / "save_all" instead save the named matmul outputs.
+    # Measured on v5e (docs/PERF.md): recompute at ~180 TFLOP/s beats
+    # the HBM round-trip, so "auto" resolves to "full" (train.py).
+    remat_policy: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

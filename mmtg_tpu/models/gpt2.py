@@ -20,14 +20,46 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import functools
+import math
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from mmtg_tpu.configs import GPT2Config
 
 NEG_INF = -1e30
+
+# Selective rematerialization menu for the train forward. Full-block remat
+# re-runs the whole layer in the backward (+1 fwd of FLOPs, ~25% of the
+# step); each policy instead SAVES the named matmul outputs and recomputes
+# only the cheap glue. Measured b256×236 bf16 on one v5e chip — see
+# docs/PERF.md. HBM cost per layer (bf16): qkv 600 MB, attn_ctx 200 MB,
+# mlp_fc1 400 MB.
+_REMAT_POLICIES = {
+    "full": None,  # save only the block input (lowest memory)
+    # save attention in/out; recompute MLP fc1 + gelu in the backward
+    "save_qkv_ctx": ("qkv", "attn_ctx"),
+    # save the cheap-to-store pair; backward recomputes only the QKV
+    # projection (the attention kernel itself is skipped — ctx is saved)
+    "save_ctx_fc1": ("attn_ctx", "mlp_fc1"),
+    # save everything expensive; backward recomputes LN/gelu/dropout only
+    # (OOMs at b256×236 on a 16G chip — needs ~19.5G; fine at b≤128)
+    "save_all": ("qkv", "attn_ctx", "mlp_fc1"),
+}
+
+
+def _remat_block(block, remat: bool, remat_policy: str):
+    if not remat:
+        return block
+    names = _REMAT_POLICIES[remat_policy]
+    if names is None:
+        return jax.checkpoint(block)
+    return jax.checkpoint(
+        block, policy=jax.checkpoint_policies.save_only_these_names(*names)
+    )
 
 
 class KVCache(NamedTuple):
@@ -89,8 +121,6 @@ def init_gpt2_params(key: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> Dict
     D, L = cfg.n_embd, cfg.n_layer
     std = cfg.initializer_range
     ks = jax.random.split(key, 8)
-    import math
-
     proj_std = std / math.sqrt(2 * L)
     normal = lambda k, shape, s: (s * jax.random.normal(k, shape, jnp.float32)).astype(dtype)
     return {
@@ -115,10 +145,47 @@ def init_gpt2_params(key: jax.Array, cfg: GPT2Config, dtype=jnp.float32) -> Dict
     }
 
 
+def _ln_fwd_impl(x, g, b, eps):
+    # reduces accumulate in f32 (dtype=) WITHOUT materializing an f32
+    # copy of x; elementwise math stays in x.dtype so bf16 activations
+    # never round-trip through HBM at 4 bytes.
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    xm = x - mean.astype(x.dtype)
+    var = jnp.mean(jnp.square(xm), axis=-1, keepdims=True, dtype=jnp.float32)
+    rstd = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    xhat = xm * rstd
+    return xhat * g + b, (xhat, rstd, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _layer_norm(x, g, b, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
+    """LayerNorm with a hand-written VJP: one fused reduce pass
+    (d-gain/d-bias/both row stats) + one elementwise pass for dx, with
+    f32 accumulation but no materialized f32 activation copies. (On a
+    v5e at b256×236 this is only ~1 ms/step better than autodiff — XLA
+    fuses the naive form well — but it pins the numerics: stats always
+    accumulate f32 even for bf16 activations.)"""
+    y, _ = _ln_fwd_impl(x, g, b, eps)
+    return y
+
+
+def _ln_fwd(x, g, b, eps):
+    return _ln_fwd_impl(x, g, b, eps)
+
+
+def _ln_bwd(eps, res, dy):
+    xhat, rstd, g = res
+    t = dy * g
+    mt = jnp.mean(t, axis=-1, keepdims=True, dtype=jnp.float32)
+    mtx = jnp.mean(t * xhat, axis=-1, keepdims=True, dtype=jnp.float32)
+    dx = (t - mt.astype(t.dtype) - xhat * mtx.astype(t.dtype)) * rstd
+    axes = tuple(range(dy.ndim - 1))
+    dg = jnp.sum((dy * xhat).astype(jnp.float32), axis=axes).astype(g.dtype)
+    db = jnp.sum(dy.astype(jnp.float32), axis=axes).astype(g.dtype)
+    return dx, dg, db
+
+
+_layer_norm.defvjp(_ln_fwd, _ln_bwd)
 
 
 def _gelu_new(x):
@@ -158,6 +225,8 @@ def gpt2_forward(
     return_kv: bool = False,
     remat: bool = False,
     tp_axis: Optional[str] = None,
+    attn_impl: str = "xla",
+    remat_policy: str = "full",
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Full-sequence (teacher-forced / prefill) forward.
 
@@ -177,6 +246,12 @@ def gpt2_forward(
         a ``psum`` over ``tp_axis`` before the (replicated) bias. The
         local head count is derived from the param shapes, so the same
         code serves both the unsharded and per-shard cases.
+      attn_impl: "xla" (masked-softmax over a materialized [B,1,T,T]
+        bias), "pallas" (fused train-attention kernel,
+        :mod:`mmtg_tpu.ops.train_attention` — probs never hit HBM,
+        attention dropout via the on-core PRNG), or "auto" (pallas on
+        TPU backends when eligible). ``return_kv`` prefills and
+        head_dim > 128 always take the xla path.
     Returns:
       (logits ``[B, T, V]``, optionally per-layer (k, v) each
       ``[L, B, H_local, T, hd]`` for cache prefill).
@@ -188,19 +263,51 @@ def gpt2_forward(
 
     rng = dropout_rng if not deterministic else None
     if rng is not None:
+        # Dropout bits come from the TPU's hardware RNG ("rbg" impl):
+        # threefry masks over the train shapes cost ~200ms/step on a v5e
+        # (measured; [B,T,4D] resid masks alone are ~1.1G elements/fwd).
+        data = jax.random.bits(jax.random.fold_in(rng, 0x5EED), (4,),
+                               jnp.uint32)
+        rng = jax.random.wrap_key_data(data, impl="rbg")
         rng, k_embd = jax.random.split(rng)
         h = _dropout(h, cfg.embd_pdrop, k_embd)
 
-    # Additive bias: causal + key padding, [B, 1, T, T].
-    causal = jnp.tril(jnp.ones((T, T), bool))
-    bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
-    if attention_mask is not None:
-        pad = (1.0 - attention_mask.astype(h.dtype)) * NEG_INF
-        bias = bias + pad[:, None, None, :]
+    if attn_impl == "auto":
+        attn_impl = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        )
+    if return_kv or cfg.head_dim > 128:
+        attn_impl = "xla"
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, h.dtype))
     # local head count from the (possibly TP-sharded) QKV shape
     n_head = (params["h"]["attn_w"].shape[-1] // 3) // cfg.head_dim
+
+    bias = key_bias = None
+    T_real = T
+    if attn_impl == "pallas":
+        # Sequence padded once to a 128 multiple for the whole stack;
+        # padded keys get -inf bias, padded query rows are sliced off.
+        from mmtg_tpu.ops.train_attention import mha_train, pad_proj_weights, pad_qkv_weights
+
+        Tp = ((T + 127) // 128) * 128
+        if Tp != T:
+            h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
+        mask = (
+            attention_mask
+            if attention_mask is not None
+            else jnp.ones((B, T), jnp.int32)
+        )
+        mask = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))
+        key_bias = (1.0 - mask) * NEG_INF  # [B, Tp] rows
+        T = Tp
+    else:
+        # Additive bias: causal + key padding, [B, 1, T, T].
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+        if attention_mask is not None:
+            pad = (1.0 - attention_mask.astype(h.dtype)) * NEG_INF
+            bias = bias + pad[:, None, None, :]
 
     def block(carry, xs):
         h, layer_idx = carry
@@ -209,17 +316,40 @@ def gpt2_forward(
             layer_rng = jax.random.fold_in(rng, layer_idx)
             k_attn, k_resid1, k_resid2 = jax.random.split(layer_rng, 3)
         a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
-        qkv = a @ lp["attn_w"] + lp["attn_b"]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, n_head) for t in (q, k, v))
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ).astype(h.dtype) * scale
-        probs = jax.nn.softmax(scores + bias, axis=-1)
-        if rng is not None:
-            probs = _dropout(probs, cfg.attn_pdrop, k_attn)
-        ctx = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
-        attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
+        if attn_impl == "pallas":
+            wq, bq = pad_qkv_weights(
+                lp["attn_w"], lp["attn_b"], n_head, cfg.head_dim
+            )
+            qkv = a @ wq + bq  # [B, Tp, H*384] head-major fused slabs
+            qkv = checkpoint_name(qkv, "qkv")
+            rate = cfg.attn_pdrop if rng is not None else 0.0
+            seed = (
+                jax.random.randint(k_attn, (1,), 0, 2**31 - 1, jnp.int32)
+                if rng is not None
+                else jnp.zeros((1,), jnp.int32)
+            )
+            ctx = mha_train(
+                qkv, key_bias, seed, n_head, rate,
+                1.0 / math.sqrt(cfg.head_dim),
+            )
+            ctx = checkpoint_name(ctx, "attn_ctx")
+            attn_out = ctx @ pad_proj_weights(
+                lp["attn_proj_w"], n_head, cfg.head_dim
+            )
+            k = v = None
+        else:
+            qkv = checkpoint_name(a @ lp["attn_w"] + lp["attn_b"], "qkv")
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (_split_heads(t, n_head) for t in (q, k, v))
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ).astype(h.dtype) * scale
+            probs = jax.nn.softmax(scores + bias, axis=-1)
+            if rng is not None:
+                probs = _dropout(probs, cfg.attn_pdrop, k_attn)
+            ctx = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
+            ctx = checkpoint_name(ctx, "attn_ctx")
+            attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         attn_out = attn_out + lp["attn_proj_b"]
@@ -227,7 +357,8 @@ def gpt2_forward(
             attn_out = _dropout(attn_out, cfg.resid_pdrop, k_resid1)
         h = h + attn_out
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
-        m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
+        m = checkpoint_name(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"], "mlp_fc1")
+        m = _gelu_new(m)
         m = m @ lp["mlp_proj_w"]  # row-parallel under TP
         if tp_axis is not None:
             m = jax.lax.psum(m, tp_axis)
@@ -237,8 +368,10 @@ def gpt2_forward(
         h = h + m
         return (h, layer_idx + 1), (k, v) if return_kv else None
 
-    block_fn = jax.checkpoint(block) if remat else block
+    block_fn = _remat_block(block, remat, remat_policy)
     (h, _), kv = jax.lax.scan(block_fn, (h, 0), params["h"])
+    if T != T_real:
+        h = h[:, :T_real]
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
     logits = h @ params["wte"].T
     return logits, kv

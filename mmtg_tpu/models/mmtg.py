@@ -212,6 +212,8 @@ def mmtg_forward_train(
     deterministic: bool = True,
     compute_lm_loss: bool = False,
     remat: bool = False,
+    attn_impl: str = "xla",
+    remat_policy: str = "full",
 ) -> MMTGOutput:
     """Teacher-forced forward (reference ``MMTG.forward`` with
     ``train_flag=True`` — ``model.py:356-400`` + decoder train branch
@@ -254,6 +256,8 @@ def mmtg_forward_train(
         dropout_rng=dec_key,
         deterministic=deterministic,
         remat=remat,
+        attn_impl=attn_impl,
+        remat_policy=remat_policy,
     )
 
     lm_loss = None

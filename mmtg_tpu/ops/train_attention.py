@@ -1,0 +1,293 @@
+"""Pallas TPU kernel: fused causal self-attention for the TRAIN forward,
+with a custom-VJP backward — the probability matrix never touches HBM.
+
+Why this exists (measured on a v5e chip, batch 256 × 236 tokens):
+the XLA train path materializes per-layer ``[B, H, T, T]`` score/prob
+tensors (3.8 GB each) plus a threefry dropout mask of the same shape —
+together they dominate the 689 ms train step (probe: dropout alone is
+197 ms; the no-dropout forward is still ~50% attention HBM traffic).
+At T ≤ ~512 the ``[bB, T, T]`` score tile of a block of batch rows for
+one head fits comfortably in VMEM, so "flash" here means: one program
+per (batch block, head) computes scores → bias/causal mask → f32
+softmax → (hardware-PRNG) dropout → context entirely on-chip. The
+backward kernel recomputes the same probabilities tile-wise
+(regenerating the identical dropout bits from the same seed) and emits
+the fused d(qkv) — no residuals beyond the layer inputs.
+
+Layout contract (Mosaic-driven, see ``ops/decode_attention.py`` notes):
+  * q/k/v arrive FUSED and HEAD-MAJOR: ``[B, T, H*384]`` where head
+    ``h`` owns lanes ``[h*384, (h+1)*384)`` as ``[q_h | k_h | v_h]``,
+    each padded from ``hd`` to 128 lanes. The padding and the
+    head-major column order are folded into the *weights* of the QKV
+    projection by the caller (``pad_qkv_weights``), so no activation
+    split/transpose/re-tiling ever happens; one 384-lane block per
+    (batch block, head) program is a single 128-aligned slice, and the
+    backward writes d(qkv) back into the SAME fused layout — the
+    jnp.split/concatenate copies of a per-tensor API (measured ~68
+    ms/step at b256: 22 fwd split + 22 remat split + 24 bwd concat)
+    simply never exist.
+  * T must be a multiple of 128 (the caller pads the sequence once for
+    the whole layer stack; padded keys carry a -inf bias, padded query
+    rows are sliced off afterwards).
+  * the key-padding mask is a per-row ``[B, T]`` f32 additive bias —
+    the [B, H, T, T] broadcast the stock path needs simply never exists.
+
+Numerics: scores and softmax in float32 (the XLA path softmaxes in
+bf16 — the kernel is strictly more accurate); the prob·V and gradient
+matmuls run in the input dtype on the MXU with f32 accumulation.
+
+Faithfulness: replaces reference ``modeling_gpt2`` attention semantics
+(HF GPT2Attention: causal mask + additive key-padding bias + softmax +
+dropout) for training; reference drives it via ``model.py:282-288``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128  # padded per-head width
+SLAB = 3 * LANES  # per-head fused q|k|v lane count
+
+# Test hook: force interpret-mode lowering (CPU CI) without threading an
+# extra argument through gpt2_forward.
+INTERPRET = False
+
+
+def _batch_block(B: int) -> int:
+    """Rows per program. One (batch row, head) per program is ~0.3 µs of
+    MXU work — per-program setup dominates (measured: slower than the XLA
+    path). Blocks of 16 rows turn the grid from B·H programs into
+    (B/16)·H fat ones whose [bB, T, T] f32 scratch still fits VMEM at
+    T ≤ 512."""
+    bB = 16
+    while B % bB:
+        bB //= 2
+    return bB
+
+
+def _causal_bias(T: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    return jnp.where(col <= row, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _probs(q, k, bias_ref, scale):
+    """[bB, T, T] f32 post-softmax probabilities for bB rows of one head.
+
+    Single-batch-dim ``dot_general`` — the layout Mosaic lowers well
+    (two batch dims don't lower at all; see ops/decode_attention.py)."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    T = s.shape[-1]
+    # bias_ref: [bB, 1, T] key-padding rows; causal [T, T] broadcasts.
+    s = s * scale + bias_ref[...] + _causal_bias(T)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=2, keepdims=True)
+
+
+def _dropout_keep(seed_ref, shape, rate: float):
+    """Deterministic per-program keep mask from the on-core PRNG.
+
+    Seeded with (step seed, flat program id): the backward kernel
+    reseeds identically and regenerates the exact same bits, so the mask
+    is never stored. (Mosaic accepts at most 2 seed words.)"""
+    flat_pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], flat_pid)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = jnp.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
+    return bits >= thr
+
+
+def _fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref,
+                *, scale: float, rate: float):
+    q = qkv_ref[:, :, 0 * LANES:1 * LANES]
+    k = qkv_ref[:, :, 1 * LANES:2 * LANES]
+    p = _probs(q, k, bias_ref, scale)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref, p.shape, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    v = qkv_ref[:, :, 2 * LANES:3 * LANES]
+    o_ref[...] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref,
+                *, scale: float, rate: float):
+    q = qkv_ref[:, :, 0 * LANES:1 * LANES]
+    k = qkv_ref[:, :, 1 * LANES:2 * LANES]
+    v = qkv_ref[:, :, 2 * LANES:3 * LANES]
+    p = _probs(q, k, bias_ref, scale)  # recomputed, f32
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref, p.shape, rate)
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)  # post-dropout probs
+    else:
+        pd = p
+    do = do_ref[...]
+    dt = v.dtype
+    # dv[b, j, d] = sum_i pd[b, i, j] * do[b, i, d]
+    dqkv_ref[:, :, 2 * LANES:3 * LANES] = jax.lax.dot_general(
+        pd.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    # d(post-dropout p)[b, i, j] = sum_d do[b, i, d] * v[b, j, d]
+    dpd = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+    # softmax VJP (pre-dropout p): ds = p * (dp - sum_j dp*p)
+    ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+    ds = (ds * scale).astype(dt)
+    dqkv_ref[:, :, 0 * LANES:1 * LANES] = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    # dk[b, j, d] = sum_i ds[b, i, j] * q[b, i, d]
+    dqkv_ref[:, :, 1 * LANES:2 * LANES] = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+
+
+def _specs(T: int, bB: int):
+    # index maps get (grid indices..., scalar-prefetch ref) — ignore the ref
+    slab_block = pl.BlockSpec(
+        (bB, T, SLAB), lambda b, h, s: (b, 0, h), memory_space=pltpu.VMEM
+    )
+    head_block = pl.BlockSpec(
+        (bB, T, LANES), lambda b, h, s: (b, 0, h), memory_space=pltpu.VMEM
+    )
+    # bias rides as [B, 1, T]: a (bB, T) block would violate the sublane
+    # rule (2nd-to-last dim must divide 8 or equal the array dim)
+    bias_block = pl.BlockSpec(
+        (bB, 1, T), lambda b, h, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return slab_block, head_block, bias_block
+
+
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"),
+    vmem_limit_bytes=128 * 1024 * 1024,
+)
+
+
+def _fwd_call(qkv, bias, seed, n_head, rate, scale, interpret):
+    B, T, _ = qkv.shape
+    bB = _batch_block(B)
+    slab_block, head_block, bias_block = _specs(T, bB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bB, n_head),
+        in_specs=[slab_block, bias_block],
+        out_specs=head_block,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, n_head * LANES), qkv.dtype),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret or INTERPRET,
+    )(seed, qkv, bias[:, None, :])
+
+
+def _bwd_call(qkv, bias, seed, do, n_head, rate, scale, interpret):
+    B, T, HS = qkv.shape
+    bB = _batch_block(B)
+    slab_block, head_block, bias_block = _specs(T, bB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bB, n_head),
+        in_specs=[slab_block, bias_block, head_block],
+        out_specs=slab_block,
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, HS), qkv.dtype),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret or INTERPRET,
+    )(seed, qkv, bias[:, None, :], do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def mha_train(qkv, bias, seed, n_head, dropout_rate=0.0, scale=1.0,
+              interpret=False):
+    """Fused causal multi-head attention over a head-major qkv slab.
+
+    Args:
+      qkv: ``[B, T, n_head*384]`` — per head ``h``, lanes
+        ``[h*384, (h+1)*384)`` hold ``[q_h | k_h | v_h]``, each padded
+        from the true head_dim to 128 lanes (zero pad columns; fold the
+        padding + column order into the QKV weights via
+        ``pad_qkv_weights``). T must be a multiple of 128.
+      bias: ``[B, T]`` f32 additive key bias (0 live / NEG_INF padded).
+      seed: ``[1]`` int32 dropout seed (ignored when dropout_rate == 0).
+      n_head: head count (static).
+      dropout_rate: attention-prob dropout (static; 0 disables).
+      scale: score scale, normally ``1/sqrt(true_head_dim)`` (static).
+    Returns:
+      context ``[B, T, n_head*128]`` in qkv's dtype; pad lanes are zero
+      whenever v's pad lanes are zero.
+    """
+    return _fwd_call(qkv, bias, seed, n_head, dropout_rate, scale,
+                     interpret)
+
+
+def _mha_fwd(qkv, bias, seed, n_head, dropout_rate, scale, interpret):
+    out = _fwd_call(qkv, bias, seed, n_head, dropout_rate, scale,
+                    interpret)
+    return out, (qkv, bias, seed)
+
+
+def _mha_bwd(n_head, dropout_rate, scale, interpret, res, g):
+    qkv, bias, seed = res
+    dqkv = _bwd_call(qkv, bias, seed, g, n_head, dropout_rate, scale,
+                     interpret)
+    # bias is data (key-padding), seed is an int — no cotangents.
+    return dqkv, jnp.zeros_like(bias), None
+
+
+mha_train.defvjp(_mha_fwd, _mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Weight-side padding helpers (used by models/gpt2.py)
+# ---------------------------------------------------------------------------
+
+
+def pad_qkv_weights(attn_w, attn_b, n_head: int, head_dim: int):
+    """``[D, 3·H·hd]`` QKV weight/bias → ``[D, H·384]`` head-major with
+    zero pad columns per head (``[q_h|k_h|v_h]`` slabs), so the
+    projection directly emits the kernel's fused layout (the pad is a
+    ~7 MB weight copy per layer, not a [B,T,·] activation relayout)."""
+    D = attn_w.shape[0]
+    w = attn_w.reshape(D, 3, n_head, head_dim)
+    b = attn_b.reshape(3, n_head, head_dim)
+    pad = LANES - head_dim
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    b = jnp.pad(b, ((0, 0), (0, 0), (0, pad)))
+    # [D, 3, H, 128] → [D, H, 3, 128] → [D, H*384]
+    w = w.transpose(0, 2, 1, 3).reshape(D, n_head * SLAB)
+    b = b.transpose(1, 0, 2).reshape(n_head * SLAB)
+    return w, b
+
+
+def pad_proj_weights(proj_w, n_head: int, head_dim: int):
+    """``[H·hd, D]`` attention output projection → ``[H·128, D]`` with
+    zero pad rows, consuming the kernel's padded context directly."""
+    D = proj_w.shape[1]
+    w = proj_w.reshape(n_head, head_dim, D)
+    w = jnp.pad(w, ((0, 0), (0, LANES - head_dim), (0, 0)))
+    return w.reshape(n_head * LANES, D)

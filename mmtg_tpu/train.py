@@ -93,6 +93,15 @@ def create_train_state(
     )
 
 
+def _resolve_remat_policy(policy: str) -> str:
+    """"auto" → "full". Measured (docs/PERF.md): saving activations
+    round-trips through HBM slower than recomputing them at ~180 TFLOP/s
+    — save_all is ≤3% faster at b128 and OOMs at b256 (19.5 of 15.75 GB)
+    — so full-block remat is the right default at every batch that needs
+    remat at all. The named policies stay selectable for other chips."""
+    return "full" if policy == "auto" else policy
+
+
 def loss_and_metrics(
     params: Dict,
     const: Dict,
@@ -126,6 +135,8 @@ def loss_and_metrics(
         dropout_rng=dropout_rng,
         deterministic=deterministic,
         remat=tcfg.remat and not deterministic,
+        attn_impl=tcfg.attn_impl,
+        remat_policy=_resolve_remat_policy(tcfg.remat_policy),
     )
     ratings = batch["rating"]
     weights = curriculum_sample_weights(ratings, stage)

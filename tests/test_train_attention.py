@@ -1,0 +1,128 @@
+"""Fused train-attention Pallas kernel vs a pure-jax oracle (interpret
+mode), plus end-to-end gpt2_forward pallas-vs-xla equivalence.
+
+The kernel replaces HF GPT2Attention train semantics (causal mask +
+additive key-padding bias + f32 softmax + dropout; reference drives it
+via ``model.py:282-288``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtg_tpu.configs import GPT2Config
+from mmtg_tpu.models.gpt2 import gpt2_forward, init_gpt2_params
+from mmtg_tpu.ops import train_attention as ta
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    ta.INTERPRET = True
+    yield
+    ta.INTERPRET = False
+
+
+def _to_slab(q, k, v, hd):
+    """[B,H,T,hd] ×3 → [B,T,H*384] head-major padded slab."""
+    B, H, T, _ = q.shape
+    out = np.zeros((B, T, H, 3, ta.LANES), np.float32)
+    out[:, :, :, 0, :hd] = q.transpose(0, 2, 1, 3)
+    out[:, :, :, 1, :hd] = k.transpose(0, 2, 1, 3)
+    out[:, :, :, 2, :hd] = v.transpose(0, 2, 1, 3)
+    return jnp.asarray(out.reshape(B, T, H * ta.SLAB))
+
+
+def _oracle(q, k, v, mask, scale):
+    T = q.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    b = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, ta.NEG_INF)[None, None]
+    b = b + ((1.0 - mask) * ta.NEG_INF)[:, None, None, :]
+    p = jax.nn.softmax(s + b, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("B,H,T,hd", [(2, 3, 128, 64), (4, 2, 256, 64), (2, 2, 128, 128)])
+def test_forward_matches_oracle(B, H, T, hd):
+    rng = np.random.default_rng(0)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32) for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 9:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    out = ta.mha_train(_to_slab(q, k, v, hd), bias, seed, H, 0.0, float(scale))
+    out_h = np.asarray(out).reshape(B, T, H, ta.LANES).transpose(0, 2, 1, 3)[..., :hd]
+    ref = np.asarray(_oracle(*(jnp.asarray(t) for t in (q, k, v)), jnp.asarray(mask), scale))
+    np.testing.assert_allclose(out_h, ref, atol=2e-6)
+    # pad lanes must stay zero (v pad lanes are zero)
+    pads = np.asarray(out).reshape(B, T, H, ta.LANES)[..., hd:]
+    assert pads.size == 0 or np.abs(pads).max() == 0.0
+
+
+def test_backward_matches_oracle():
+    B, H, T, hd = 2, 3, 128, 64
+    rng = np.random.default_rng(1)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32) for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 5:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    seed = jnp.zeros((1,), jnp.int32)
+    slab = _to_slab(q, k, v, hd)
+    # cotangent only on real lanes (pad-lane cotangents are zero in the
+    # model: the output projection's pad rows are zero)
+    co_h = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    co = np.zeros((B, T, H, ta.LANES), np.float32)
+    co[..., :hd] = co_h.transpose(0, 2, 1, 3)
+    co = jnp.asarray(co.reshape(B, T, H * ta.LANES))
+
+    g = jax.grad(
+        lambda s: jnp.sum(ta.mha_train(s, bias, seed, H, 0.0, float(scale)) * co)
+    )(slab)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(_oracle(q, k, v, jnp.asarray(mask), scale)
+                                * jnp.asarray(co_h)),
+        argnums=(0, 1, 2),
+    )(*(jnp.asarray(t) for t in (q, k, v)))
+    g5 = np.asarray(g).reshape(B, T, H, 3, ta.LANES)
+    for j in range(3):
+        got = g5[:, :, :, j, :hd].transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(got, np.asarray(gr[j]), atol=2e-6)
+    assert np.abs(g5[..., hd:]).max() == 0.0
+
+
+def test_pad_qkv_weights_layout():
+    """a @ padded_w + padded_b reproduces the head-major q|k|v slabs."""
+    D, H, hd, B, T = 16, 3, 64, 2, 8
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((D, 3 * H * hd)).astype(np.float32)
+    bvec = rng.standard_normal((3 * H * hd,)).astype(np.float32)
+    a = rng.standard_normal((B, T, D)).astype(np.float32)
+    wp, bp = ta.pad_qkv_weights(jnp.asarray(w), jnp.asarray(bvec), H, hd)
+    slab = np.asarray(a @ np.asarray(wp) + np.asarray(bp))
+    slab = slab.reshape(B, T, H, 3, ta.LANES)
+    ref = (a @ w + bvec).reshape(B, T, 3, H, hd)
+    np.testing.assert_allclose(
+        slab[..., :hd], ref.transpose(0, 1, 3, 2, 4), atol=1e-5
+    )
+    assert np.abs(slab[..., hd:]).max() == 0.0
+
+
+def test_gpt2_forward_pallas_matches_xla():
+    """Deterministic full-stack forward: pallas kernel path == xla path
+    (also exercises the T→128-multiple sequence padding glue)."""
+    cfg = GPT2Config(vocab_size=97, n_positions=64, n_embd=64, n_layer=2,
+                     n_head=2)
+    params = init_gpt2_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 37
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.n_embd)) * 0.1
+    pos = jnp.arange(T)
+    mask = jnp.ones((B, T), jnp.int32).at[1, 30:].set(0)
+    logits_x, _ = gpt2_forward(params, cfg, emb, pos, attention_mask=mask,
+                               attn_impl="xla")
+    logits_p, _ = gpt2_forward(params, cfg, emb, pos, attention_mask=mask,
+                               attn_impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_x), atol=2e-5
+    )
