@@ -320,8 +320,10 @@ def gpt2_forward(
             wq, bq = pad_qkv_weights(
                 lp["attn_w"], lp["attn_b"], n_head, cfg.head_dim
             )
-            qkv = a @ wq + bq  # [B, Tp, H*384] head-major fused slabs
-            qkv = checkpoint_name(qkv, "qkv")
+            # [B, Tp, H*384] head-major fused slabs; the projection bias
+            # is added inside the kernel so its gradient never needs a
+            # standalone [B·T, H·384] reduce.
+            qkv = checkpoint_name(a @ wq, "qkv")
             rate = cfg.attn_pdrop if rng is not None else 0.0
             seed = (
                 jax.random.randint(k_attn, (1,), 0, 2**31 - 1, jnp.int32)
@@ -329,7 +331,7 @@ def gpt2_forward(
                 else jnp.zeros((1,), jnp.int32)
             )
             ctx = mha_train(
-                qkv, key_bias, seed, n_head, rate,
+                qkv, bq, key_bias, seed, n_head, rate,
                 1.0 / math.sqrt(cfg.head_dim),
             )
             ctx = checkpoint_name(ctx, "attn_ctx")

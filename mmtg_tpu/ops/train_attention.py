@@ -97,9 +97,10 @@ def _probs(q, k, bias_ref, scale):
 def _dropout_keep(seed_ref, shape, rate: float):
     """Deterministic per-program keep mask from the on-core PRNG.
 
-    Seeded with (step seed, flat program id): the backward kernel
-    reseeds identically and regenerates the exact same bits, so the mask
-    is never stored. (Mosaic accepts at most 2 seed words.)"""
+    Seeded with (step seed, flat program id): the backward kernel runs
+    the SAME (head, batch-block) grid and reseeds identically, so the
+    mask is regenerated bit-exactly and never stored. (Mosaic accepts at
+    most 2 seed words.)"""
     flat_pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
     pltpu.prng_seed(seed_ref[0], flat_pid)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
@@ -107,26 +108,26 @@ def _dropout_keep(seed_ref, shape, rate: float):
     return bits >= thr
 
 
-def _fwd_kernel(seed_ref, qkv_ref, bias_ref, o_ref,
+def _fwd_kernel(seed_ref, qkv_ref, qb_ref, bias_ref, o_ref,
                 *, scale: float, rate: float):
-    q = qkv_ref[:, :, 0 * LANES:1 * LANES]
-    k = qkv_ref[:, :, 1 * LANES:2 * LANES]
+    q = qkv_ref[:, :, 0 * LANES:1 * LANES] + qb_ref[0, 0 * LANES:1 * LANES]
+    k = qkv_ref[:, :, 1 * LANES:2 * LANES] + qb_ref[0, 1 * LANES:2 * LANES]
     p = _probs(q, k, bias_ref, scale)
     if rate > 0.0:
         keep = _dropout_keep(seed_ref, p.shape, rate)
         p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-    v = qkv_ref[:, :, 2 * LANES:3 * LANES]
+    v = qkv_ref[:, :, 2 * LANES:3 * LANES] + qb_ref[0, 2 * LANES:3 * LANES]
     o_ref[...] = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref,
-                *, scale: float, rate: float):
-    q = qkv_ref[:, :, 0 * LANES:1 * LANES]
-    k = qkv_ref[:, :, 1 * LANES:2 * LANES]
-    v = qkv_ref[:, :, 2 * LANES:3 * LANES]
+def _bwd_kernel(seed_ref, qkv_ref, qb_ref, bias_ref, do_ref,
+                dqkv_ref, dqb_ref, *, scale: float, rate: float):
+    q = qkv_ref[:, :, 0 * LANES:1 * LANES] + qb_ref[0, 0 * LANES:1 * LANES]
+    k = qkv_ref[:, :, 1 * LANES:2 * LANES] + qb_ref[0, 1 * LANES:2 * LANES]
+    v = qkv_ref[:, :, 2 * LANES:3 * LANES] + qb_ref[0, 2 * LANES:3 * LANES]
     p = _probs(q, k, bias_ref, scale)  # recomputed, f32
     if rate > 0.0:
         keep = _dropout_keep(seed_ref, p.shape, rate)
@@ -137,10 +138,11 @@ def _bwd_kernel(seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref,
     do = do_ref[...]
     dt = v.dtype
     # dv[b, j, d] = sum_i pd[b, i, j] * do[b, i, d]
-    dqkv_ref[:, :, 2 * LANES:3 * LANES] = jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         pd.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(dt)
+    )
+    dqkv_ref[:, :, 2 * LANES:3 * LANES] = dv.astype(dt)
     # d(post-dropout p)[b, i, j] = sum_d do[b, i, d] * v[b, j, d]
     dpd = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))),
@@ -150,80 +152,123 @@ def _bwd_kernel(seed_ref, qkv_ref, bias_ref, do_ref, dqkv_ref,
     # softmax VJP (pre-dropout p): ds = p * (dp - sum_j dp*p)
     ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
     ds = (ds * scale).astype(dt)
-    dqkv_ref[:, :, 0 * LANES:1 * LANES] = jax.lax.dot_general(
+    dq = jax.lax.dot_general(
         ds, k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(dt)
+    )
+    dqkv_ref[:, :, 0 * LANES:1 * LANES] = dq.astype(dt)
     # dk[b, j, d] = sum_i ds[b, i, j] * q[b, i, d]
-    dqkv_ref[:, :, 1 * LANES:2 * LANES] = jax.lax.dot_general(
+    dk = jax.lax.dot_general(
         ds, q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(dt)
+    )
+    dqkv_ref[:, :, 1 * LANES:2 * LANES] = dk.astype(dt)
+    # Accumulated bias grad: d(qkv bias) column-sums while the tiles are
+    # still on-chip (an XLA [B·T, H·384] → [H·384] reduce of the dqkv
+    # output runs at ~62 GB/s — 9.6 ms/step at b256). The batch-block
+    # grid dim is inner + "arbitrary", so the (8, SLAB) block is
+    # revisited consecutively and lives in VMEM for the whole head.
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dqb_ref[...] = jnp.zeros_like(dqb_ref)
+
+    acc = dqb_ref[0, :]
+    dqb_ref[0, 0 * LANES:1 * LANES] = (
+        acc[0 * LANES:1 * LANES] + jnp.sum(dq, axis=(0, 1))
+    )
+    dqb_ref[0, 1 * LANES:2 * LANES] = (
+        acc[1 * LANES:2 * LANES] + jnp.sum(dk, axis=(0, 1))
+    )
+    dqb_ref[0, 2 * LANES:3 * LANES] = (
+        acc[2 * LANES:3 * LANES] + jnp.sum(dv, axis=(0, 1))
+    )
 
 
 def _specs(T: int, bB: int):
-    # index maps get (grid indices..., scalar-prefetch ref) — ignore the ref
+    # Grid is (head, batch-block) — batch INNER so the accumulated
+    # d(bias) output block is revisited on consecutive programs.
+    # Index maps get (grid indices..., scalar-prefetch ref) — ignore the
+    # ref.
     slab_block = pl.BlockSpec(
-        (bB, T, SLAB), lambda b, h, s: (b, 0, h), memory_space=pltpu.VMEM
+        (bB, T, SLAB), lambda h, b, s: (b, 0, h), memory_space=pltpu.VMEM
     )
     head_block = pl.BlockSpec(
-        (bB, T, LANES), lambda b, h, s: (b, 0, h), memory_space=pltpu.VMEM
+        (bB, T, LANES), lambda h, b, s: (b, 0, h), memory_space=pltpu.VMEM
     )
     # bias rides as [B, 1, T]: a (bB, T) block would violate the sublane
     # rule (2nd-to-last dim must divide 8 or equal the array dim)
     bias_block = pl.BlockSpec(
-        (bB, 1, T), lambda b, h, s: (b, 0, 0), memory_space=pltpu.VMEM
+        (bB, 1, T), lambda h, b, s: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    return slab_block, head_block, bias_block
+    # qkv projection bias [8, H·384] (row 0 live; 8 rows for the sublane
+    # rule); per-program slab slice
+    qb_block = pl.BlockSpec(
+        (8, SLAB), lambda h, b, s: (0, h), memory_space=pltpu.VMEM
+    )
+    return slab_block, head_block, bias_block, qb_block
 
 
-_COMPILER_PARAMS = pltpu.CompilerParams(
+_COMPILER_PARAMS_FWD = pltpu.CompilerParams(
     dimension_semantics=("parallel", "parallel"),
+    vmem_limit_bytes=128 * 1024 * 1024,
+)
+# the bwd accumulates d(bias) across the batch-block grid dim
+_COMPILER_PARAMS_BWD = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"),
     vmem_limit_bytes=128 * 1024 * 1024,
 )
 
 
-def _fwd_call(qkv, bias, seed, n_head, rate, scale, interpret):
+def _pad8(qkv_bias):
+    """[H·384] → [8, H·384] (row 0 live) for the sublane rule."""
+    return jnp.pad(qkv_bias[None, :], ((0, 7), (0, 0)))
+
+
+def _fwd_call(qkv, qkv_bias, bias, seed, n_head, rate, scale, interpret):
     B, T, _ = qkv.shape
     bB = _batch_block(B)
-    slab_block, head_block, bias_block = _specs(T, bB)
+    slab_block, head_block, bias_block, qb_block = _specs(T, bB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B // bB, n_head),
-        in_specs=[slab_block, bias_block],
+        grid=(n_head, B // bB),
+        in_specs=[slab_block, qb_block, bias_block],
         out_specs=head_block,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, rate=rate),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, n_head * LANES), qkv.dtype),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS_FWD,
         interpret=interpret or INTERPRET,
-    )(seed, qkv, bias[:, None, :])
+    )(seed, qkv, _pad8(qkv_bias), bias[:, None, :])
 
 
-def _bwd_call(qkv, bias, seed, do, n_head, rate, scale, interpret):
+def _bwd_call(qkv, qkv_bias, bias, seed, do, n_head, rate, scale, interpret):
     B, T, HS = qkv.shape
     bB = _batch_block(B)
-    slab_block, head_block, bias_block = _specs(T, bB)
+    slab_block, head_block, bias_block, qb_block = _specs(T, bB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B // bB, n_head),
-        in_specs=[slab_block, bias_block, head_block],
-        out_specs=slab_block,
+        grid=(n_head, B // bB),
+        in_specs=[slab_block, qb_block, bias_block, head_block],
+        out_specs=(slab_block, qb_block),
     )
-    return pl.pallas_call(
+    dqkv, dqb8 = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, rate=rate),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, HS), qkv.dtype),
-        compiler_params=_COMPILER_PARAMS,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, HS), qkv.dtype),
+            jax.ShapeDtypeStruct((8, HS), jnp.float32),
+        ),
+        compiler_params=_COMPILER_PARAMS_BWD,
         interpret=interpret or INTERPRET,
-    )(seed, qkv, bias[:, None, :], do)
+    )(seed, qkv, _pad8(qkv_bias), bias[:, None, :], do)
+    return dqkv, dqb8[0].astype(qkv_bias.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def mha_train(qkv, bias, seed, n_head, dropout_rate=0.0, scale=1.0,
-              interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def mha_train(qkv, qkv_bias, bias, seed, n_head, dropout_rate=0.0,
+              scale=1.0, interpret=False):
     """Fused causal multi-head attention over a head-major qkv slab.
 
     Args:
@@ -231,7 +276,12 @@ def mha_train(qkv, bias, seed, n_head, dropout_rate=0.0, scale=1.0,
         ``[h*384, (h+1)*384)`` hold ``[q_h | k_h | v_h]``, each padded
         from the true head_dim to 128 lanes (zero pad columns; fold the
         padding + column order into the QKV weights via
-        ``pad_qkv_weights``). T must be a multiple of 128.
+        ``pad_qkv_weights``). T must be a multiple of 128. The QKV
+        projection BIAS is not pre-added: pass it separately so its
+        gradient comes from in-kernel partial sums (XLA's standalone
+        [B·T, H·384] → [H·384] reduce of dqkv costs 9.6 ms/step at b256).
+      qkv_bias: ``[n_head*384]`` head-major padded projection bias
+        (second output of ``pad_qkv_weights``), added on-chip.
       bias: ``[B, T]`` f32 additive key bias (0 live / NEG_INF padded).
       seed: ``[1]`` int32 dropout seed (ignored when dropout_rate == 0).
       n_head: head count (static).
@@ -241,22 +291,23 @@ def mha_train(qkv, bias, seed, n_head, dropout_rate=0.0, scale=1.0,
       context ``[B, T, n_head*128]`` in qkv's dtype; pad lanes are zero
       whenever v's pad lanes are zero.
     """
-    return _fwd_call(qkv, bias, seed, n_head, dropout_rate, scale,
-                     interpret)
+    return _fwd_call(qkv, qkv_bias, bias, seed, n_head, dropout_rate,
+                     scale, interpret)
 
 
-def _mha_fwd(qkv, bias, seed, n_head, dropout_rate, scale, interpret):
-    out = _fwd_call(qkv, bias, seed, n_head, dropout_rate, scale,
-                    interpret)
-    return out, (qkv, bias, seed)
+def _mha_fwd(qkv, qkv_bias, bias, seed, n_head, dropout_rate, scale,
+             interpret):
+    out = _fwd_call(qkv, qkv_bias, bias, seed, n_head, dropout_rate,
+                    scale, interpret)
+    return out, (qkv, qkv_bias, bias, seed)
 
 
 def _mha_bwd(n_head, dropout_rate, scale, interpret, res, g):
-    qkv, bias, seed = res
-    dqkv = _bwd_call(qkv, bias, seed, g, n_head, dropout_rate, scale,
-                     interpret)
+    qkv, qkv_bias, bias, seed = res
+    dqkv, dqb = _bwd_call(qkv, qkv_bias, bias, seed, g, n_head,
+                          dropout_rate, scale, interpret)
     # bias is data (key-padding), seed is an int — no cotangents.
-    return dqkv, jnp.zeros_like(bias), None
+    return dqkv, dqb, jnp.zeros_like(bias), None
 
 
 mha_train.defvjp(_mha_fwd, _mha_bwd)

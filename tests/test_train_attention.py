@@ -51,7 +51,8 @@ def test_forward_matches_oracle(B, H, T, hd):
     bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
     seed = jnp.zeros((1,), jnp.int32)
 
-    out = ta.mha_train(_to_slab(q, k, v, hd), bias, seed, H, 0.0, float(scale))
+    zb = jnp.zeros((H * ta.SLAB,), jnp.float32)
+    out = ta.mha_train(_to_slab(q, k, v, hd), zb, bias, seed, H, 0.0, float(scale))
     out_h = np.asarray(out).reshape(B, T, H, ta.LANES).transpose(0, 2, 1, 3)[..., :hd]
     ref = np.asarray(_oracle(*(jnp.asarray(t) for t in (q, k, v)), jnp.asarray(mask), scale))
     np.testing.assert_allclose(out_h, ref, atol=2e-6)
@@ -76,9 +77,10 @@ def test_backward_matches_oracle():
     co = np.zeros((B, T, H, ta.LANES), np.float32)
     co[..., :hd] = co_h.transpose(0, 2, 1, 3)
     co = jnp.asarray(co.reshape(B, T, H * ta.LANES))
+    zb = jnp.zeros((H * ta.SLAB,), jnp.float32)
 
     g = jax.grad(
-        lambda s: jnp.sum(ta.mha_train(s, bias, seed, H, 0.0, float(scale)) * co)
+        lambda s: jnp.sum(ta.mha_train(s, zb, bias, seed, H, 0.0, float(scale)) * co)
     )(slab)
     gr = jax.grad(
         lambda q, k, v: jnp.sum(_oracle(q, k, v, jnp.asarray(mask), scale)
@@ -90,6 +92,17 @@ def test_backward_matches_oracle():
         got = g5[:, :, :, j, :hd].transpose(0, 2, 1, 3)
         np.testing.assert_allclose(got, np.asarray(gr[j]), atol=2e-6)
     assert np.abs(g5[..., hd:]).max() == 0.0
+
+    # the in-kernel partial-sum bias grad must equal colsum(dqkv)
+    # (qkv_eff = qkv + bias ⇒ d bias = Σ_{B,T} dqkv)
+    _, dzb = jax.grad(
+        lambda s, b: jnp.sum(ta.mha_train(s, b, bias, seed, H, 0.0,
+                                          float(scale)) * co),
+        argnums=(0, 1),
+    )(slab, zb)
+    np.testing.assert_allclose(
+        np.asarray(dzb), np.asarray(g).sum(axis=(0, 1)), atol=1e-4
+    )
 
 
 def test_pad_qkv_weights_layout():
