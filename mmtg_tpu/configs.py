@@ -174,6 +174,11 @@ class TrainConfig:
     # Measured on v5e (docs/PERF.md): recompute at ~180 TFLOP/s beats
     # the HBM round-trip, so "auto" resolves to "full" (train.py).
     remat_policy: str = "auto"
+    # "chunked": CE from hidden states, [B,chunk,V] logits at a time under
+    # jax.checkpoint (loss.py:sequence_unlikelihood_loss_from_hidden) —
+    # exact same value, ~4.5 GB less peak HBM at b256. "full": reference-
+    # shaped [B,T,V] logits path.
+    loss_impl: str = "chunked"
 
 
 @dataclasses.dataclass(frozen=True)

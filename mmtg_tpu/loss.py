@@ -83,6 +83,63 @@ def sequence_unlikelihood_loss(
     return jnp.sum(per_sample * sample_weights) / denom
 
 
+def sequence_unlikelihood_loss_from_hidden(
+    hidden: jnp.ndarray,
+    wte: jnp.ndarray,
+    targets: jnp.ndarray,
+    ratings: jnp.ndarray,
+    stage: jnp.ndarray,
+    dcfg: DataConfig,
+    sample_weights: jnp.ndarray | None = None,
+    chunk_size: int = 44,
+) -> jnp.ndarray:
+    """Same value as :func:`sequence_unlikelihood_loss`, computed from the
+    decoder's pre-LM-head hidden states without ever materializing the full
+    ``[B, T, V]`` logits.
+
+    At train shapes (B=256, T=236, V=13317) the full-logits path costs
+    1.6 GB bf16 logits + a ~2.9 GB f32 log-softmax of HBM; here each
+    ``lax.scan`` step computes one ``[B, chunk, V]`` slice under
+    ``jax.checkpoint`` (re-derived in the backward), so peak loss memory
+    drops ~25x. The LM-head matmul runs twice (fwd + bwd recompute) but it
+    is a ~7 ms MXU op — the HBM traffic it saves is worth more.
+    """
+    y = binarize_ratings(ratings, stage)
+    h = hidden[:, dcfg.topic_prompt_length : -1, :]
+    labels = targets[:, 1:].astype(jnp.int32)
+    B, T, D = h.shape
+    n_chunks = -(-T // chunk_size)
+    pad = n_chunks * chunk_size - T
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+    valid = (jnp.arange(n_chunks * chunk_size) < T).astype(jnp.float32)
+    hs = h.reshape(B, n_chunks, chunk_size, D).transpose(1, 0, 2, 3)
+    ys = labels.reshape(B, n_chunks, chunk_size).transpose(1, 0, 2)
+    vs = valid.reshape(n_chunks, chunk_size)
+
+    @jax.checkpoint
+    def chunk_nll_sum(h_c, y_c, v_c):
+        # logits in the compute dtype, softmax reduce in f32 — identical
+        # numerics to the full path (loss computes log_softmax in f32).
+        logits = (h_c @ wte.T).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y_c[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * v_c[None, :], axis=-1)
+
+    def body(acc, xs):
+        return acc + chunk_nll_sum(*xs), None
+
+    total_nll, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32), (hs, ys, vs))
+    ce = total_nll / T
+    p = jnp.exp(-ce)
+    per_sample = -y * jnp.log(p + NEAR_0) - (1.0 - y) * jnp.log(1.0 - p + NEAR_0)
+    if sample_weights is None:
+        return jnp.mean(per_sample)
+    denom = jnp.maximum(jnp.sum(sample_weights), 1.0)
+    return jnp.sum(per_sample * sample_weights) / denom
+
+
 def weighted_mean(values: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:
     """Weighted batch mean used for the KL term under curriculum masks
     (reference means the KL over the filtered batch, ``train.py:192``)."""

@@ -227,6 +227,7 @@ def gpt2_forward(
     tp_axis: Optional[str] = None,
     attn_impl: str = "xla",
     remat_policy: str = "full",
+    lm_head: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Full-sequence (teacher-forced / prefill) forward.
 
@@ -375,6 +376,11 @@ def gpt2_forward(
     if T != T_real:
         h = h[:, :T_real]
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
+    if not lm_head:
+        # hidden states for a chunked LM head (loss.py) — at train shapes
+        # the full [B, T, V] logits are 1.6 GB bf16 + a 2.9 GB f32
+        # log-softmax; the chunked loss never materializes them.
+        return h, kv
     logits = h @ params["wte"].T
     return logits, kv
 

@@ -37,9 +37,10 @@ SPECIAL = SpecialTokens()
 
 
 class MMTGOutput(NamedTuple):
-    logits: jnp.ndarray  # [B, prompt+target, vocab]
+    logits: Optional[jnp.ndarray]  # [B, prompt+target, vocab] (None if lm_head=False)
     kl_per_sample: jnp.ndarray  # [B] alpha-attention KL (img + text)
     lm_loss: Optional[jnp.ndarray]  # HF-style shifted CE (parity aux)
+    hidden: Optional[jnp.ndarray] = None  # [B, L, n_embd] pre-LM-head states
 
 
 def init_mmtg_params(
@@ -214,6 +215,7 @@ def mmtg_forward_train(
     remat: bool = False,
     attn_impl: str = "xla",
     remat_policy: str = "full",
+    lm_head: bool = True,
 ) -> MMTGOutput:
     """Teacher-forced forward (reference ``MMTG.forward`` with
     ``train_flag=True`` — ``model.py:356-400`` + decoder train branch
@@ -246,7 +248,7 @@ def mmtg_forward_train(
     )
     B, L, _ = embeds.shape
     positions = jnp.arange(L)[None, :]
-    logits, _ = gpt2_forward(
+    out, _ = gpt2_forward(
         params["gpt2"],
         mcfg.gpt2,
         embeds,
@@ -258,7 +260,13 @@ def mmtg_forward_train(
         remat=remat,
         attn_impl=attn_impl,
         remat_policy=remat_policy,
+        lm_head=lm_head,
     )
+    if not lm_head:
+        # hidden states for the chunked LM loss (loss.py): the full
+        # [B, L, V] logits are never materialized.
+        return MMTGOutput(logits=None, kl_per_sample=kl, lm_loss=None, hidden=out)
+    logits = out
 
     lm_loss = None
     if compute_lm_loss:

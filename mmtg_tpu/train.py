@@ -33,6 +33,7 @@ from mmtg_tpu.configs import DataConfig, ModelConfig, TrainConfig
 from mmtg_tpu.loss import (
     curriculum_sample_weights,
     sequence_unlikelihood_loss,
+    sequence_unlikelihood_loss_from_hidden,
     stage_for_epoch,
     weighted_mean,
 )
@@ -126,6 +127,7 @@ def loss_and_metrics(
         fwd_const = jax.tree.map(cast, const)
     else:
         fwd_params, fwd_const = params, const
+    chunked = tcfg.loss_impl == "chunked"
     out = mmtg_forward_train(
         fwd_params,
         fwd_const,
@@ -137,14 +139,26 @@ def loss_and_metrics(
         remat=tcfg.remat and not deterministic,
         attn_impl=tcfg.attn_impl,
         remat_policy=_resolve_remat_policy(tcfg.remat_policy),
+        lm_head=not chunked,
     )
     ratings = batch["rating"]
     weights = curriculum_sample_weights(ratings, stage)
     if "sample_mask" in batch:
         weights = weights * batch["sample_mask"]
-    loss = sequence_unlikelihood_loss(
-        out.logits, batch["targets"], ratings, stage, dcfg, weights
-    )
+    if chunked:
+        loss = sequence_unlikelihood_loss_from_hidden(
+            out.hidden,
+            fwd_params["gpt2"]["wte"],
+            batch["targets"],
+            ratings,
+            stage,
+            dcfg,
+            weights,
+        )
+    else:
+        loss = sequence_unlikelihood_loss(
+            out.logits, batch["targets"], ratings, stage, dcfg, weights
+        )
     kl = weighted_mean(out.kl_per_sample.astype(jnp.float32), weights)
     total = loss + tcfg.alpha * kl
     return total, {"loss": loss, "kl": kl, "total": total, "kept": jnp.sum(weights)}

@@ -1,6 +1,7 @@
 """Loss parity vs a torch transcription of MyLoss (loss.py:39-74) and
 curriculum semantics (train.py:159-186)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -115,3 +116,43 @@ def test_stage_schedule():
 def test_weighted_mean_empty_safe():
     v = jnp.asarray([1.0, 2.0])
     assert float(weighted_mean(v, jnp.asarray([0.0, 0.0]))) == 0.0
+
+
+def test_chunked_loss_matches_full_value_and_grad():
+    """sequence_unlikelihood_loss_from_hidden == sequence_unlikelihood_loss
+    (value AND grads) when logits = hidden @ wte.T — incl. a chunk size
+    that doesn't divide the 220 shifted positions (padding path)."""
+    from mmtg_tpu.configs import DataConfig
+    from mmtg_tpu.loss import (
+        sequence_unlikelihood_loss,
+        sequence_unlikelihood_loss_from_hidden,
+    )
+
+    dcfg = DataConfig(
+        topic_prompt_length=3, max_sent_length=2, max_seq_length=30
+    )
+    B, V, D = 4, 37, 16
+    L = dcfg.topic_prompt_length + dcfg.target_length
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    wte = jnp.asarray(rng.standard_normal((V, D)) * 0.2, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, V, (B, dcfg.target_length)), jnp.int32)
+    ratings = jnp.asarray([1.0, 3.0, 4.0, 5.0])
+    weights = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    stage = jnp.asarray(2)
+
+    def full(h, w):
+        return sequence_unlikelihood_loss(
+            h @ w.T, targets, ratings, stage, dcfg, weights
+        )
+
+    def chunked(h, w):
+        return sequence_unlikelihood_loss_from_hidden(
+            h, w, targets, ratings, stage, dcfg, weights, chunk_size=7
+        )
+
+    vf, gf = jax.value_and_grad(full, argnums=(0, 1))(hidden, wte)
+    vc, gc = jax.value_and_grad(chunked, argnums=(0, 1))(hidden, wte)
+    np.testing.assert_allclose(float(vf), float(vc), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gc[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gc[1]), atol=1e-6)
