@@ -99,7 +99,11 @@ def main() -> None:
     times.sort()
     dt = times[len(times) // 2]  # p50 — robust to tunnel hiccups
     best = times[0]
-    spread = (times[-1] - times[0]) / dt
+    # Spread over the fastest runs-2: the axon tunnel reliably doubles one
+    # or two runs per session (hiccups, not contention); isolated outliers
+    # shouldn't trip the contention warning, sustained slowness should.
+    trimmed = times[:-2] if len(times) >= 6 else times
+    spread = (trimmed[-1] - trimmed[0]) / dt
     tokens_per_sec = B * gcfg.length / dt
     if spread > 0.15:
         import sys
@@ -136,17 +140,26 @@ def main() -> None:
             )
 
         ustep = jax.jit(uncached_step)
-        tokens = jnp.zeros((1, T), jnp.int32).at[:, 0].set(SP.start_id)
         # warmup compile (sync via host transfer, see above)
-        float(jnp.sum(ustep(params, const, tokens, jnp.asarray(1), key)))
-        t0 = time.perf_counter()
-        for i in range(n_base):
-            nxt = ustep(params, const, tokens, jnp.asarray(i + 1),
-                        jax.random.fold_in(key, i))
-            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-        float(jnp.sum(tokens))
-        base_dt = time.perf_counter() - t0
-        base_tps = n_base / base_dt
+        tokens0 = jnp.zeros((1, T), jnp.int32).at[:, 0].set(SP.start_id)
+        float(jnp.sum(ustep(params, const, tokens0, jnp.asarray(1), key)))
+        # Best-of-3 loops: each step is its own tunnel round trip, so one
+        # slow loop badly skews the baseline rate (seen: 20 vs 38 tok/s
+        # run-to-run) — and vs_baseline with it. Best is also the
+        # conservative choice (fastest baseline → smallest ratio).
+        base_dts = []
+        for r in range(3):
+            tokens = tokens0
+            t0 = time.perf_counter()
+            for i in range(n_base):
+                nxt = ustep(params, const, tokens, jnp.asarray(i + 1),
+                            jax.random.fold_in(key, 1000 * r + i))
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, nxt[:, None], (0, i + 1)
+                )
+            float(jnp.sum(tokens))
+            base_dts.append(time.perf_counter() - t0)
+        base_tps = n_base / min(base_dts)
         vs_baseline = tokens_per_sec / base_tps
 
     result = {
