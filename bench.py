@@ -40,7 +40,7 @@ def main() -> None:
                          "(the tunnel occasionally doubles one run's wall "
                          "time — a mean is fiction, the median is not)")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8"],
+    ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8", "int4"],
                     help="int8 KV cache is the serving default (1.66x)")
     args = ap.parse_args()
 

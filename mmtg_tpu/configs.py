@@ -201,9 +201,11 @@ class GenerateConfig:
     # decode attention: 'auto' → Pallas dynamic-length kernel on TPU,
     # XLA masked softmax elsewhere; or force 'pallas' / 'xla'.
     attn_impl: str = "auto"
-    # KV cache precision: 'model' (= param dtype) or 'int8' (per-row
-    # abs-max quantization — halves the decode loop's dominant HBM traffic
-    # at a small sampling-distribution perturbation).
+    # KV cache precision: 'model' (= param dtype), 'int8' (per-row
+    # abs-max quantization — halves the decode loop's dominant HBM
+    # traffic at a small sampling-distribution perturbation), or 'int4'
+    # (two nibbles packed per byte — quarter traffic, larger
+    # perturbation; see tests/test_decoding.py int4 agreement check).
     cache_dtype: str = "model"
 
 

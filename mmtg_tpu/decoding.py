@@ -118,10 +118,12 @@ def _generate_jit(
             "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         )
     # Mosaic lane alignment: the decode kernel slices the cache's trailing
-    # dim, which must be a 128 multiple. TP shards (D/tp) and tiny test
-    # models can violate that — fall back to the XLA path there.
+    # dim, which must be a 128 multiple (D/2 in int4-packed mode). TP
+    # shards (D/tp) and tiny test models can violate that — fall back to
+    # the XLA path there.
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
-    if attn_impl == "pallas" and d_kv % 128 != 0:
+    d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
+    if attn_impl == "pallas" and d_store % 128 != 0:
         attn_impl = "xla"
     # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
     # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
@@ -165,7 +167,7 @@ def _generate_jit(
         type_ids,
         attn_mask,
         capacity,
-        quantized=gcfg.cache_dtype == "int8",
+        quantized=gcfg.cache_dtype,
         tp_axis=tp_axis,
     )
 

@@ -48,7 +48,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_samples_path", default="", type=str)
     p.add_argument("--type_id_scheme", default="train",
                    choices=["train", "reference_infer"])
-    p.add_argument("--cache_dtype", default="model", choices=["model", "int8"],
+    p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"],
                    help="KV cache precision (int8 halves decode HBM traffic)")
     return p
 

@@ -70,12 +70,14 @@ class KVCache(NamedTuple):
     trailing dim get lane-padded to 128 by Mosaic and rejected for
     slicing; ``[.., hd, T]`` layouts degrade DMA to 256-byte runs.)
 
-    Optionally int8-quantized (``k_scale``/``v_scale`` set): per-row
-    abs-max scales, halving the decode loop's dominant HBM traffic."""
+    Optionally quantized (``k_scale``/``v_scale`` set): per-row abs-max
+    scales. int8 halves the decode loop's dominant HBM traffic; int4
+    packs two nibbles per byte (trailing dim D/2 — detected by shape) and
+    quarters it."""
 
-    k: jnp.ndarray  # [L, B, T_max, D] (float or int8)
-    v: jnp.ndarray  # [L, B, T_max, D]
-    k_scale: Optional[jnp.ndarray] = None  # [L, B, T_max] f32 (int8 mode)
+    k: jnp.ndarray  # [L, B, T_max, D] (float/int8) or [L, B, T_max, D/2] (int4 packed)
+    v: jnp.ndarray  # same
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, T_max] f32 (quantized modes)
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -99,12 +101,55 @@ def quantize_rows(x: jnp.ndarray):
     return q, scale
 
 
+def quantize_rows_int4(x: jnp.ndarray):
+    """Symmetric per-row int4 quantization, two nibbles packed per byte.
+
+    Packed byte ``j`` holds original element ``j`` (low nibble) and
+    element ``j + D/2`` (high nibble), so unpacking is two shifts and a
+    lane-half split — no interleaving relayouts anywhere. Values live in
+    [-7, 7] (symmetric; -8 unused).
+
+    Returns (packed int8 ``[..., D/2]``, scales f32 ``[...-1 dims]``)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 7.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -7, 7
+    ).astype(jnp.int8)
+    D = x.shape[-1]
+    lo, hi = q[..., : D // 2], q[..., D // 2 :]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 15))
+    return packed, scale
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`quantize_rows_int4`'s packing (values still need
+    the scale multiply): ``[..., D/2]`` int8 → ``[..., D]`` f32."""
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)  # sign-extended low nibble
+    hi = jnp.right_shift(p32, 4)  # arithmetic shift: signed high nibble
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
+def _cache_kind(quantized) -> str:
+    """Normalize the init/prefill ``quantized`` argument: False → "model",
+    True → "int8" (back-compat), or an explicit "model"/"int8"/"int4"."""
+    if quantized is True:
+        return "int8"
+    if not quantized:
+        return "model"
+    if quantized not in ("model", "int8", "int4"):
+        raise ValueError(f"unknown cache kind {quantized!r}")
+    return quantized
+
+
 def init_cache(
     cfg: GPT2Config, batch: int, capacity: int, dtype=jnp.float32,
-    quantized: bool = False,
+    quantized=False,
 ) -> KVCache:
-    shape = (cfg.n_layer, batch, capacity, cfg.n_embd)
-    if quantized:
+    kind = _cache_kind(quantized)
+    D = cfg.n_embd if kind != "int4" else cfg.n_embd // 2
+    shape = (cfg.n_layer, batch, capacity, D)
+    if kind != "model":
         sshape = shape[:-1]
         return KVCache(
             jnp.zeros(shape, jnp.int8),
@@ -441,6 +486,9 @@ def gpt2_decode_step(
     # cache in place; per-step HBM traffic is one cache READ, not
     # read+rewrite.
     quantized = cache.quantized
+    # int4 mode is identified statically by the packed trailing dim
+    int4 = quantized and cache.k.shape[-1] * 2 == D_kv
+    D_store = D_kv // 2 if int4 else D_kv
 
     def layer(l, carry):
         h, k_full, v_full, ks_full, vs_full = carry
@@ -452,8 +500,9 @@ def gpt2_decode_step(
         qkv = a @ lp["attn_w"] + lp["attn_b"]  # [B, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if quantized:
-            k_store, ks = quantize_rows(k)
-            v_store, vs = quantize_rows(v)
+            quant = quantize_rows_int4 if int4 else quantize_rows
+            k_store, ks = quant(k)
+            v_store, vs = quant(v)
             ks_full = jax.lax.dynamic_update_slice(
                 ks_full, ks.reshape(1, B, 1), (l, 0, position)
             )
@@ -463,18 +512,24 @@ def gpt2_decode_step(
         else:
             k_store, v_store = k, v
         k_full = jax.lax.dynamic_update_slice(
-            k_full, k_store.reshape(1, B, 1, D_kv), (l, 0, position, 0)
+            k_full, k_store.reshape(1, B, 1, D_store), (l, 0, position, 0)
         )
         v_full = jax.lax.dynamic_update_slice(
-            v_full, v_store.reshape(1, B, 1, D_kv), (l, 0, position, 0)
+            v_full, v_store.reshape(1, B, 1, D_store), (l, 0, position, 0)
         )
         if attn_impl == "pallas":
             from mmtg_tpu.ops.decode_attention import (
                 decode_attention,
+                decode_attention_int4,
                 decode_attention_int8,
             )
 
-            if quantized:
+            if int4:
+                ctx = decode_attention_int4(
+                    q, k_full, v_full, ks_full, vs_full, key_mask, position,
+                    l, n_head=n_head,
+                )
+            elif quantized:
                 ctx = decode_attention_int8(
                     q, k_full, v_full, ks_full, vs_full, key_mask, position,
                     l, n_head=n_head,
@@ -494,6 +549,9 @@ def gpt2_decode_step(
                 vs_c = jax.lax.dynamic_index_in_dim(vs_full, l, 0, keepdims=False)
                 ks_c = jax.lax.slice_in_dim(ks_c, 0, W, axis=1)
                 vs_c = jax.lax.slice_in_dim(vs_c, 0, W, axis=1)
+                if int4:
+                    k_cache = unpack_int4(k_cache)
+                    v_cache = unpack_int4(v_cache)
                 k_cache = k_cache.astype(jnp.float32) * ks_c[..., None]
                 v_cache = (v_cache.astype(jnp.float32) * vs_c[..., None]).astype(
                     h.dtype
@@ -539,12 +597,13 @@ def prefill_cache(
     token_type_ids: jnp.ndarray,
     attention_mask: jnp.ndarray,
     capacity: int,
-    quantized: bool = False,
+    quantized=False,
     tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prompt once, returning its logits and a cache padded to
     ``capacity`` (the encoder+prefix runs once; per-token cost becomes
     O(T) instead of the reference's O(T²) re-forward, ``generate.py:124``).
+    ``quantized``: False/"model", True/"int8", or "int4" (packed).
     Under ``tp_axis`` the cache holds only this shard's heads."""
     logits, kv = gpt2_forward(
         params,
@@ -563,9 +622,11 @@ def prefill_cache(
     k = k.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, H_ * hd_)
     v = v.transpose(0, 1, 3, 2, 4).reshape(L_, B_, T, H_ * hd_)
     pad = [(0, 0), (0, 0), (0, capacity - T), (0, 0)]
-    if quantized:
-        kq, ks = quantize_rows(k)
-        vq, vs = quantize_rows(v)
+    kind = _cache_kind(quantized)
+    if kind != "model":
+        quant = quantize_rows_int4 if kind == "int4" else quantize_rows
+        kq, ks = quant(k)
+        vq, vs = quant(v)
         spad = pad[:-1]
         return logits, KVCache(
             jnp.pad(kq, pad), jnp.pad(vq, pad),

@@ -405,3 +405,233 @@ def decode_attention_int8(
         interpret=interpret,
     )(scalars, (q * scale).astype(q.dtype), k_cache, v_cache,
       k_scale, v_scale, pad_bias)
+
+
+def _kernel_int4(
+    scalar_ref,  # [2] int32 (position, layer)
+    q_ref,  # [bB, D] VMEM (merged heads, pre-scaled)
+    k_hbm,  # [L, B, T, D/2] int8 HBM — packed nibbles (gpt2.quantize_rows_int4)
+    v_hbm,  # [L, B, T, D/2] int8 HBM
+    ks_hbm,  # [L, B, T] f32 per-row k scales
+    vs_hbm,  # [L, B, T] f32 per-row v scales
+    bias_hbm,  # [B, T] f32
+    ctx_ref,  # [bB, D] VMEM out
+    k_tile,  # [2, bB, TS, D/2] int8 scratch
+    v_tile,
+    ks_tile,  # [2, bB, TS] f32 scratch
+    vs_tile,
+    bias_tile,  # [2, bB, TS] f32 scratch
+    sems,  # DMA semaphores [2, 5]
+    *,
+    bB: int,
+    TS: int,
+    n_head: int,
+):
+    """int4 variant: packed byte j of a cache row holds original lane j
+    (low nibble) and lane j + D/2 (high nibble). Unpacking is two int32
+    shifts per half; the per-head score reduction runs as two half-lane
+    MXU dots against split segment matrices, so no lane interleaving or
+    concat relayouts exist anywhere. Scales fold exactly as in the int8
+    kernel. Cache traffic is 1/4 of bf16, 1/2 of int8."""
+    pos = scalar_ref[0]
+    layer = scalar_ref[1]
+    b0 = pl.program_id(0) * bB
+    num_tiles = pos // TS + 1
+    D = q_ref.shape[1]
+    D2 = D // 2
+    hd = D // n_head
+
+    def copy4(ref, dst, t, slot, sem_idx):
+        return pltpu.make_async_copy(
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS), :],
+            dst.at[slot],
+            sems.at[slot, sem_idx],
+        )
+
+    def copy3(ref, dst, t, slot, sem_idx):
+        return pltpu.make_async_copy(
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            dst.at[slot],
+            sems.at[slot, sem_idx],
+        )
+
+    def bias_copy(t, slot):
+        return pltpu.make_async_copy(
+            bias_hbm.at[pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            bias_tile.at[slot],
+            sems.at[slot, 4],
+        )
+
+    def start_all(t, slot):
+        copy4(k_hbm, k_tile, t, slot, 0).start()
+        copy4(v_hbm, v_tile, t, slot, 1).start()
+        copy3(ks_hbm, ks_tile, t, slot, 2).start()
+        copy3(vs_hbm, vs_tile, t, slot, 3).start()
+        bias_copy(t, slot).start()
+
+    def wait_all(t, slot):
+        copy4(k_hbm, k_tile, t, slot, 0).wait()
+        copy4(v_hbm, v_tile, t, slot, 1).wait()
+        copy3(ks_hbm, ks_tile, t, slot, 2).wait()
+        copy3(vs_hbm, vs_tile, t, slot, 3).wait()
+        bias_copy(t, slot).wait()
+
+    start_all(0, 0)
+
+    q = q_ref[:].astype(jnp.float32)  # [bB, D]
+    q_lo = q[:, :D2]  # lanes 0..D/2 (128-aligned static slices)
+    q_hi = q[:, D2:]
+    # Split head-segment matrices for each packed half: lane j of the low
+    # half belongs to head j // hd; lane j of the high half to
+    # (j + D2) // hd.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (D2, n_head), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (D2, n_head), 1)
+    seg_lo = (lane // hd == head).astype(jnp.float32)  # [D2, H]
+    seg_hi = ((lane + D2) // hd == head).astype(jnp.float32)
+
+    def unpack(p):
+        p32 = p.astype(jnp.int32)
+        lo = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(p32, 28), 28
+        ).astype(jnp.float32)
+        hi = jax.lax.shift_right_arithmetic(p32, 4).astype(jnp.float32)
+        return lo, hi
+
+    def body(t, carry):
+        m, l, acc_lo, acc_hi = carry
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            start_all(t + 1, nxt)
+
+        wait_all(t, slot)
+        k_lo, k_hi = unpack(k_tile[slot])  # each [bB, TS, D2]
+        v_lo, v_hi = unpack(v_tile[slot])
+
+        s = jax.lax.dot_general(
+            q_lo[:, None, :] * k_lo, seg_lo, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_hi[:, None, :] * k_hi, seg_hi, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bB, TS, H]
+        s = s * ks_tile[slot][:, :, None]  # fold k dequant scale
+        s = s + bias_tile[slot][:, :, None]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TS
+        s = jnp.where(row <= pos, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vs_tile[slot][:, :, None]  # fold v dequant scale per row
+        pe_lo = jax.lax.dot_general(
+            pv, seg_lo.T, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bB, TS, D2]
+        pe_hi = jax.lax.dot_general(
+            pv, seg_hi.T, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        corr_lo = jax.lax.dot_general(
+            corr[:, 0, :], seg_lo.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bB, D2]
+        corr_hi = jax.lax.dot_general(
+            corr[:, 0, :], seg_hi.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_lo_new = acc_lo * corr_lo + jnp.sum(pe_lo * v_lo, axis=1)
+        acc_hi_new = acc_hi * corr_hi + jnp.sum(pe_hi * v_hi, axis=1)
+        return m_new, l_new, acc_lo_new, acc_hi_new
+
+    H = n_head
+    m0 = jnp.full((bB, 1, H), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bB, 1, H), jnp.float32)
+    a0 = jnp.zeros((bB, D2), jnp.float32)
+    m, l, acc_lo, acc_hi = jax.lax.fori_loop(
+        0, num_tiles, body, (m0, l0, a0, a0)
+    )
+    l_lo = jax.lax.dot_general(
+        l[:, 0, :], seg_lo.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bB, D2]
+    l_hi = jax.lax.dot_general(
+        l[:, 0, :], seg_hi.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ctx_ref[:, :D2] = (acc_lo / l_lo).astype(ctx_ref.dtype)
+    ctx_ref[:, D2:] = (acc_hi / l_hi).astype(ctx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "block_b", "tile_t", "interpret")
+)
+def decode_attention_int4(
+    q: jnp.ndarray,  # [B, D]
+    k_cache: jnp.ndarray,  # [L, B, T, D/2] int8 (packed nibbles)
+    v_cache: jnp.ndarray,  # [L, B, T, D/2] int8
+    k_scale: jnp.ndarray,  # [L, B, T] f32
+    v_scale: jnp.ndarray,  # [L, B, T] f32
+    key_mask: jnp.ndarray,  # [B, T] int32
+    position: jnp.ndarray,
+    layer: jnp.ndarray,
+    n_head: int = 12,
+    block_b: int = 16,
+    tile_t: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int4-packed-cache decode attention (see :func:`decode_attention`):
+    one quarter of the bf16 cache HBM traffic; per-row abs-max dequant
+    folded into scores/probabilities exactly like the int8 kernel."""
+    L, B, T, D2 = k_cache.shape
+    D = D2 * 2
+    hd = D // n_head
+    if B % block_b != 0:
+        block_b = math.gcd(B, block_b)
+    if T % tile_t != 0:
+        raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
+    scale = 1.0 / math.sqrt(hd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_b, D), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, D), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_b, tile_t, D2), jnp.int8),
+            pltpu.VMEM((2, block_b, tile_t, D2), jnp.int8),
+            pltpu.VMEM((2, block_b, tile_t), jnp.float32),
+            pltpu.VMEM((2, block_b, tile_t), jnp.float32),
+            pltpu.VMEM((2, block_b, tile_t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_int4, bB=block_b, TS=tile_t, n_head=n_head
+    )
+    pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
+    scalars = jnp.stack([position.astype(jnp.int32), layer.astype(jnp.int32)])
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(scalars, (q * scale).astype(q.dtype), k_cache, v_cache,
+      k_scale, v_scale, pad_bias)

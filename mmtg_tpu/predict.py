@@ -37,7 +37,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--topp", default=0.7, type=float)
     p.add_argument("--repetition_penalty", default=1.5, type=float)
     p.add_argument("--n_samples", default=5, type=int)
-    p.add_argument("--cache_dtype", default="model", choices=["model", "int8"])
+    p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"])
     p.add_argument("--swap_probe", action="store_true",
                    help="also generate with two experience steps swapped")
     p.add_argument("--swap_steps", default="1,3", type=str)

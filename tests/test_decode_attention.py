@@ -97,3 +97,40 @@ def test_int8_kernel_matches_dequant_oracle(tensors, rng):
     v_deq = vq.astype(jnp.float32) * vs[..., None]
     ref = _oracle(q, k_deq, v_deq, mask, pos, layer)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_int4_pack_roundtrip(rng):
+    from mmtg_tpu.models.gpt2 import quantize_rows_int4, unpack_int4
+
+    x = jnp.asarray(rng.standard_normal((3, 5, D)), jnp.float32)
+    packed, scale = quantize_rows_int4(x)
+    assert packed.shape == (3, 5, D // 2) and packed.dtype == jnp.int8
+    deq = unpack_int4(packed) * scale[..., None]
+    # worst-case int4 error is scale/2 = absmax/14 per element
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    assert (np.abs(np.asarray(deq - x)) <= amax / 14 + 1e-6).all()
+    # nibble values stay in the symmetric range
+    unpacked = np.asarray(unpack_int4(packed))
+    assert unpacked.min() >= -7 and unpacked.max() <= 7
+
+
+def test_int4_kernel_matches_dequant_oracle(tensors, rng):
+    from mmtg_tpu.models.gpt2 import quantize_rows_int4, unpack_int4
+    from mmtg_tpu.ops.decode_attention import decode_attention_int4
+
+    q, k, v = tensors
+    kq, ks = quantize_rows_int4(k)
+    vq, vs = quantize_rows_int4(v)
+    mask = jnp.asarray(rng.integers(0, 2, (B, T)), jnp.int32).at[:, 0].set(1)
+    for pos, layer in [(0, 0), (63, 1), (130, 1), (255, 2)]:
+        out = decode_attention_int4(
+            q, kq, vq, ks, vs, mask, jnp.asarray(pos), jnp.asarray(layer),
+            n_head=NH, block_b=4, tile_t=64, interpret=True,
+        )
+        k_deq = unpack_int4(kq) * ks[..., None]
+        v_deq = unpack_int4(vq) * vs[..., None]
+        ref = _oracle(q, k_deq, v_deq, mask, pos, layer)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4,
+            err_msg=f"pos={pos} layer={layer}",
+        )

@@ -245,6 +245,30 @@ def test_int8_cache_decode(gen_setup):
     assert agreement > 0.6, agreement
 
 
+def test_int4_cache_decode(gen_setup):
+    """int4 packed KV cache through the XLA fallback path: structure
+    intact, reasonable token agreement with the full-precision decode
+    (coarser than int8 — the serving quality/speed tradeoff is the
+    user's choice via --cache_dtype)."""
+    params, const, mcfg, dcfg, jb = gen_setup
+    rng = jax.random.PRNGKey(21)
+    base = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, attn_impl="xla"), jb, rng,
+    ))
+    q4 = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, attn_impl="xla", cache_dtype="int4"),
+        jb, rng,
+    ))
+    assert q4.shape == base.shape
+    assert (q4[:, 0] == SPECIAL.start_id).all()
+    assert (q4[:, 21] == SPECIAL.eos_id).all()
+    assert (q4[:, 22] == SPECIAL.start_id).all()
+    agreement = (q4 == base).mean()
+    assert agreement > 0.4, agreement
+
+
 def test_quantize_rows_roundtrip(rng):
     from mmtg_tpu.models.gpt2 import quantize_rows
 
