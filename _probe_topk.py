@@ -1,0 +1,64 @@
+"""A/B candidate exact top-k implementations for [B, 13317] k=10 on TPU."""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmtg_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
+B, V, K = 512, 13317, 10
+NEG_INF = -1e30
+rng = np.random.default_rng(0)
+logits = jnp.asarray(rng.standard_normal((B, V)), jnp.bfloat16)
+
+
+@jax.jit
+def direct(x):
+    return jax.lax.top_k(x, K)
+
+
+from functools import partial
+@partial(jax.jit, static_argnames=('group',))
+def grouped(x, group=1024):
+    Bx, Vx = x.shape
+    g = -(-Vx // group)
+    pad = g * group - Vx
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    xg = xp.reshape(Bx, g, group)
+    v1, i1 = jax.lax.top_k(xg, K)  # [B, g, K]
+    v2, i2 = jax.lax.top_k(v1.reshape(Bx, g * K), K)  # [B, K]
+    grp = i2 // K
+    within = jnp.take_along_axis(i1.reshape(Bx, g * K), i2, axis=1)
+    return v2, grp * group + within
+
+
+@jax.jit
+def approx(x):
+    return jax.lax.approx_max_k(x, K, recall_target=0.99, aggregate_to_topk=True)
+
+
+def timeit(name, fn, *a):
+    r = fn(*a)
+    float(jnp.sum(r[0][:1].astype(jnp.float32)))
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        r = fn(*a)
+        float(jnp.sum(r[0][:1].astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    print(json.dumps({"impl": name, "p50_us": round(ts[10] * 1e6, 1)}), flush=True)
+    return r
+
+
+r1 = timeit("direct_topk", direct, logits)
+r2 = timeit("grouped_1024", grouped, logits)
+r3 = timeit("grouped_512", lambda x: grouped(x, group=512), logits)
+r4 = timeit("approx_0.99", approx, logits)
+# exactness: grouped values must equal direct values
+print("grouped==direct:", bool(jnp.all(r1[0] == r2[0])), bool(jnp.all(r1[0] == r3[0])))
+print("idx match:", bool(jnp.all(r1[1] == r2[1])))

@@ -499,6 +499,43 @@ def gpt2_decode_step(
         a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
         qkv = a @ lp["attn_w"] + lp["attn_b"]  # [B, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if attn_impl == "pallas":
+            # fused append+attend: quantization (when any) and the cache
+            # write happen inside the kernel on the aliased in-place cache
+            # (XLA's DUS on the big cache buffer costs ~25x the bytes
+            # written — 1.17 ms/step at b512, docs/PERF.md).
+            from mmtg_tpu.ops.decode_attention import (
+                decode_attention_fp_append,
+                decode_attention_int4_append,
+                decode_attention_int8_append,
+            )
+
+            if int4:
+                ctx, k_full, v_full, ks_full, vs_full = decode_attention_int4_append(
+                    q, k, v, k_full, v_full, ks_full, vs_full, key_mask,
+                    position, l, n_head=n_head,
+                )
+            elif quantized:
+                ctx, k_full, v_full, ks_full, vs_full = decode_attention_int8_append(
+                    q, k, v, k_full, v_full, ks_full, vs_full, key_mask,
+                    position, l, n_head=n_head,
+                )
+            else:
+                ctx, k_full, v_full = decode_attention_fp_append(
+                    q, k, v, k_full, v_full, key_mask, position, l,
+                    n_head=n_head,
+                )
+            attn_out = ctx @ lp["attn_proj_w"]
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            h = h + attn_out + lp["attn_proj_b"]
+            m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
+            m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
+            m = m @ lp["mlp_proj_w"]
+            if tp_axis is not None:
+                m = jax.lax.psum(m, tp_axis)
+            h = h + m + lp["mlp_proj_b"]
+            return h, k_full, v_full, ks_full, vs_full
         if quantized:
             quant = quantize_rows_int4 if int4 else quantize_rows
             k_store, ks = quant(k)
@@ -517,53 +554,31 @@ def gpt2_decode_step(
         v_full = jax.lax.dynamic_update_slice(
             v_full, v_store.reshape(1, B, 1, D_store), (l, 0, position, 0)
         )
-        if attn_impl == "pallas":
-            from mmtg_tpu.ops.decode_attention import (
-                decode_attention,
-                decode_attention_int4,
-                decode_attention_int8,
-            )
-
+        qh = q.reshape(B, n_head, hd)
+        k_cache = jax.lax.dynamic_index_in_dim(k_full, l, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_full, l, 0, keepdims=False)
+        k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=1)
+        v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=1)
+        if quantized:
+            ks_c = jax.lax.dynamic_index_in_dim(ks_full, l, 0, keepdims=False)
+            vs_c = jax.lax.dynamic_index_in_dim(vs_full, l, 0, keepdims=False)
+            ks_c = jax.lax.slice_in_dim(ks_c, 0, W, axis=1)
+            vs_c = jax.lax.slice_in_dim(vs_c, 0, W, axis=1)
             if int4:
-                ctx = decode_attention_int4(
-                    q, k_full, v_full, ks_full, vs_full, key_mask, position,
-                    l, n_head=n_head,
-                )
-            elif quantized:
-                ctx = decode_attention_int8(
-                    q, k_full, v_full, ks_full, vs_full, key_mask, position,
-                    l, n_head=n_head,
-                )
-            else:
-                ctx = decode_attention(
-                    q, k_full, v_full, key_mask, position, l, n_head=n_head
-                )
-        else:
-            qh = q.reshape(B, n_head, hd)
-            k_cache = jax.lax.dynamic_index_in_dim(k_full, l, 0, keepdims=False)
-            v_cache = jax.lax.dynamic_index_in_dim(v_full, l, 0, keepdims=False)
-            k_cache = jax.lax.slice_in_dim(k_cache, 0, W, axis=1)
-            v_cache = jax.lax.slice_in_dim(v_cache, 0, W, axis=1)
-            if quantized:
-                ks_c = jax.lax.dynamic_index_in_dim(ks_full, l, 0, keepdims=False)
-                vs_c = jax.lax.dynamic_index_in_dim(vs_full, l, 0, keepdims=False)
-                ks_c = jax.lax.slice_in_dim(ks_c, 0, W, axis=1)
-                vs_c = jax.lax.slice_in_dim(vs_c, 0, W, axis=1)
-                if int4:
-                    k_cache = unpack_int4(k_cache)
-                    v_cache = unpack_int4(v_cache)
-                k_cache = k_cache.astype(jnp.float32) * ks_c[..., None]
-                v_cache = (v_cache.astype(jnp.float32) * vs_c[..., None]).astype(
-                    h.dtype
-                )
-                k_cache = k_cache.astype(h.dtype)
-            k_cache = k_cache.reshape(B, W, n_head, hd)
-            v_cache = v_cache.reshape(B, W, n_head, hd)
-            scores = jnp.einsum(
-                "bhd,bthd->bht", qh, k_cache, preferred_element_type=jnp.float32
-            ).astype(h.dtype) * scale
-            probs = jax.nn.softmax(scores + bias[:, None, :], axis=-1)
-            ctx = jnp.einsum("bht,bthd->bhd", probs, v_cache).reshape(B, D_kv)
+                k_cache = unpack_int4(k_cache)
+                v_cache = unpack_int4(v_cache)
+            k_cache = k_cache.astype(jnp.float32) * ks_c[..., None]
+            v_cache = (v_cache.astype(jnp.float32) * vs_c[..., None]).astype(
+                h.dtype
+            )
+            k_cache = k_cache.astype(h.dtype)
+        k_cache = k_cache.reshape(B, W, n_head, hd)
+        v_cache = v_cache.reshape(B, W, n_head, hd)
+        scores = jnp.einsum(
+            "bhd,bthd->bht", qh, k_cache, preferred_element_type=jnp.float32
+        ).astype(h.dtype) * scale
+        probs = jax.nn.softmax(scores + bias[:, None, :], axis=-1)
+        ctx = jnp.einsum("bht,bthd->bhd", probs, v_cache).reshape(B, D_kv)
         attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)

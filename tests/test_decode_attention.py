@@ -134,3 +134,128 @@ def test_int4_kernel_matches_dequant_oracle(tensors, rng):
             np.asarray(out), np.asarray(ref), atol=2e-4,
             err_msg=f"pos={pos} layer={layer}",
         )
+
+
+def test_int8_append_kernel_matches_unfused(tensors, rng):
+    """Fused append+attend == (quantize_rows + cache write + int8 kernel),
+    including the in-place cache/scale updates at `position`."""
+    from mmtg_tpu.models.gpt2 import quantize_rows
+    from mmtg_tpu.ops.decode_attention import (
+        decode_attention_int8,
+        decode_attention_int8_append,
+    )
+
+    q, k, v = tensors
+    pos, layer = 130, 1
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    # garbage at `position` — the kernel must overwrite it before attending
+    kq = kq.at[:, :, pos, :].set(77)
+    vq = vq.at[:, :, pos, :].set(-77)
+    ks = ks.at[:, :, pos].set(3.3)
+    vs = vs.at[:, :, pos].set(3.3)
+    k_new = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    # oracle FIRST (the fused call donates/deletes the cache inputs):
+    # write quantized rows the XLA way, then run the plain kernel
+    knq, kns = quantize_rows(k_new)
+    vnq, vns = quantize_rows(v_new)
+    kq_ref = kq.at[layer, :, pos, :].set(knq)
+    vq_ref = vq.at[layer, :, pos, :].set(vnq)
+    ks_ref = ks.at[layer, :, pos].set(kns)
+    vs_ref = vs.at[layer, :, pos].set(vns)
+    ref = decode_attention_int8(
+        q, kq_ref, vq_ref, ks_ref, vs_ref, mask,
+        jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    untouched = np.asarray(kq[layer, :, pos + 1])
+
+    out, kq2, vq2, ks2, vs2 = decode_attention_int8_append(
+        q, k_new, v_new, kq, vq, ks, vs, mask,
+        jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # the updated caches match the XLA-sequence caches exactly
+    np.testing.assert_array_equal(np.asarray(kq2[layer, :, pos]), np.asarray(knq))
+    np.testing.assert_array_equal(np.asarray(vq2[layer, :, pos]), np.asarray(vnq))
+    np.testing.assert_allclose(np.asarray(ks2[layer, :, pos]), np.asarray(kns), rtol=1e-6)
+    # untouched slots stay put
+    np.testing.assert_array_equal(np.asarray(kq2[layer, :, pos + 1]), untouched)
+
+
+def test_fp_append_kernel_matches_unfused(tensors, rng):
+    """Full-precision fused append == (cache write + plain kernel)."""
+    from mmtg_tpu.ops.decode_attention import (
+        decode_attention,
+        decode_attention_fp_append,
+    )
+
+    q, k, v = tensors
+    pos, layer = 130, 1
+    k_new = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32)
+    # garbage at `position` — the kernel must overwrite it before attending
+    k_dirty = k.at[:, :, pos, :].set(1e3)
+    v_dirty = v.at[:, :, pos, :].set(-1e3)
+
+    k_ref = k_dirty.at[layer, :, pos, :].set(k_new)
+    v_ref = v_dirty.at[layer, :, pos, :].set(v_new)
+    ref = decode_attention(
+        q, k_ref, v_ref, mask, jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    untouched = np.asarray(k_dirty[layer, :, pos + 1])
+
+    out, k2, v2 = decode_attention_fp_append(
+        q, k_new, v_new, k_dirty, v_dirty, mask,
+        jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k2[layer, :, pos]), np.asarray(k_new), atol=0)
+    np.testing.assert_array_equal(np.asarray(k2[layer, :, pos + 1]), untouched)
+
+
+def test_int4_append_kernel_matches_unfused(tensors, rng):
+    """int4 fused append == (quantize_rows_int4 + cache write + int4 kernel)."""
+    from mmtg_tpu.models.gpt2 import quantize_rows_int4
+    from mmtg_tpu.ops.decode_attention import (
+        decode_attention_int4,
+        decode_attention_int4_append,
+    )
+
+    q, k, v = tensors
+    pos, layer = 130, 1
+    kq, ks = quantize_rows_int4(k)
+    vq, vs = quantize_rows_int4(v)
+    kq = kq.at[:, :, pos, :].set(77)
+    ks = ks.at[:, :, pos].set(3.3)
+    k_new = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32)
+
+    knq, kns = quantize_rows_int4(k_new)
+    vnq, vns = quantize_rows_int4(v_new)
+    kq_ref = kq.at[layer, :, pos, :].set(knq)
+    vq_ref = vq.at[layer, :, pos, :].set(vnq)
+    ks_ref = ks.at[layer, :, pos].set(kns)
+    vs_ref = vs.at[layer, :, pos].set(vns)
+    ref = decode_attention_int4(
+        q, kq_ref, vq_ref, ks_ref, vs_ref, mask,
+        jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+
+    out, kq2, vq2, ks2, vs2 = decode_attention_int4_append(
+        q, k_new, v_new, kq, vq, ks, vs, mask,
+        jnp.asarray(pos), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(kq2[layer, :, pos]), np.asarray(knq))
+    np.testing.assert_allclose(np.asarray(ks2[layer, :, pos]), np.asarray(kns), rtol=1e-6)
