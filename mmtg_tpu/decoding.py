@@ -176,8 +176,11 @@ def _generate_jit(
 
     tokens = jnp.zeros((B, length + 1), jnp.int32).at[:, 0].set(SPECIAL.start_id)
     # occurrence counts (not a bool mask): the reference penalizes once per
-    # occurrence — see ops/sampling.apply_repetition_penalty
-    seen = jnp.zeros((B, V), jnp.int32).at[:, SPECIAL.start_id].set(1)
+    # occurrence — see ops/sampling.apply_repetition_penalty. int16: the
+    # [B, V] table is pure HBM traffic in the decode loop (~27 MB/step as
+    # s32 for the scatter-add + the penalty read at b512) and counts are
+    # bounded by the 221-token target length.
+    seen = jnp.zeros((B, V), jnp.int16).at[:, SPECIAL.start_id].set(1)
 
     # fused window id per target position j: j // 44, clamped; no addition
     # past the last window (model.py:267-268).
