@@ -680,7 +680,13 @@ def _kernel_int8_append(
     pos_al = scalar_ref[2] * 8
     s_al = scalar_ref[3] * 128  # scale lane-block offset
     b0 = pl.program_id(0) * bB
-    num_tiles = pos // TS + 1
+    # k/v stream in HALF tiles (TSH rows): the only dead reads are then
+    # the <TSH tail rows of the last half-tile — ~24% less cache traffic
+    # at T=256/len 220 than full-TS tiles. bias/scales stay at TS-lane
+    # granularity (lane-dim DMA offsets must be 128-aligned) and the
+    # relevant half is a static lane slice selected by tile parity.
+    TSH = TS // 2
+    num_tiles = pos // TSH + 1
     D = q_ref.shape[1]
     hd = D // n_head
 
@@ -734,21 +740,24 @@ def _kernel_int8_append(
 
     def copy4(ref, dst, t, slot, sem_idx):
         return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS), :],
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TSH, TSH), :],
             dst.at[slot],
             sems.at[slot, sem_idx],
         )
 
     def copy3(ref, dst, t, slot, sem_idx):
+        # lane-dim offsets need 128 alignment: fetch the full TS
+        # superblock containing half-tile t (refetched on odd t — ~3%
+        # of the k/v bytes; no conditional DMA bookkeeping)
         return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            ref.at[layer, pl.ds(b0, bB), pl.ds((t // 2) * TS, TS)],
             dst.at[slot],
             sems.at[slot, sem_idx],
         )
 
     def bias_copy(t, slot):
         return pltpu.make_async_copy(
-            bias_hbm.at[pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // 2) * TS, TS)],
             bias_tile.at[slot],
             sems.at[slot, 4],
         )
@@ -789,15 +798,22 @@ def _kernel_int8_append(
         wait_all(t, slot)
         k = k_tile[slot].astype(jnp.float32)
         v = v_tile[slot].astype(jnp.float32)
+        first_half = jax.lax.rem(t, 2) == 0
+        meta_b = bias_tile[slot][:]  # [bB, TS]
+        meta_ks = ks_tile[slot][:]
+        meta_vs = vs_tile[slot][:]
+        bias64 = jnp.where(first_half, meta_b[:, :TSH], meta_b[:, TSH:])
+        ks64 = jnp.where(first_half, meta_ks[:, :TSH], meta_ks[:, TSH:])
+        vs64 = jnp.where(first_half, meta_vs[:, :TSH], meta_vs[:, TSH:])
 
         prod = q[:, None, :] * k
         s = jax.lax.dot_general(
             prod, seg, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * ks_tile[slot][:, :, None]
-        s = s + bias_tile[slot][:, :, None]
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TS
+        s = s * ks64[:, :, None]
+        s = s + bias64[:, :, None]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TSH
         s = jnp.where(row <= pos, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -808,7 +824,7 @@ def _kernel_int8_append(
             p, seg.T, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        pe = pe * vs_tile[slot][:, :, None]
+        pe = pe * vs64[:, :, None]
         corr_lanes = jax.lax.dot_general(
             corr[:, 0, :], seg.T, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -884,8 +900,8 @@ def decode_attention_int8_append(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, tile_t, D), jnp.int8),
-            pltpu.VMEM((2, block_b, tile_t, D), jnp.int8),
+            pltpu.VMEM((2, block_b, tile_t // 2, D), jnp.int8),  # k half-tiles
+            pltpu.VMEM((2, block_b, tile_t // 2, D), jnp.int8),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
