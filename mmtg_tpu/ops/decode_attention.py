@@ -663,6 +663,7 @@ def _kernel_int8_append(
     bB: int,
     TS: int,
     n_head: int,
+    SUB: int,
 ):
     """Fused append+attend (int8): quantizes this step's k/v row, inserts
     it into the in-place (input_output_aliased) cache via an aligned
@@ -680,12 +681,13 @@ def _kernel_int8_append(
     pos_al = scalar_ref[2] * 8
     s_al = scalar_ref[3] * 128  # scale lane-block offset
     b0 = pl.program_id(0) * bB
-    # k/v stream in HALF tiles (TSH rows): the only dead reads are then
-    # the <TSH tail rows of the last half-tile — ~24% less cache traffic
-    # at T=256/len 220 than full-TS tiles. bias/scales stay at TS-lane
-    # granularity (lane-dim DMA offsets must be 128-aligned) and the
-    # relevant half is a static lane slice selected by tile parity.
-    TSH = TS // 2
+    # k/v stream in SUB-divided tiles (TSH = TS/SUB rows): the only dead
+    # reads are the <TSH tail rows of the last sub-tile (measured: 64-row
+    # tiles took b512 int8 78.5k -> 93.9k tok/s — less dead traffic AND
+    # faster pipeline ramp). bias/scales stay at TS-lane granularity
+    # (lane-dim DMA offsets must be 128-aligned) and the live TSH-lane
+    # part is a static lane slice selected by tile index mod SUB.
+    TSH = TS // SUB
     num_tiles = pos // TSH + 1
     D = q_ref.shape[1]
     hd = D // n_head
@@ -747,17 +749,17 @@ def _kernel_int8_append(
 
     def copy3(ref, dst, t, slot, sem_idx):
         # lane-dim offsets need 128 alignment: fetch the full TS
-        # superblock containing half-tile t (refetched on odd t — ~3%
-        # of the k/v bytes; no conditional DMA bookkeeping)
+        # superblock containing sub-tile t (refetched per sub-tile — a
+        # few % of the k/v bytes; no conditional DMA bookkeeping)
         return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds((t // 2) * TS, TS)],
+            ref.at[layer, pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
             dst.at[slot],
             sems.at[slot, sem_idx],
         )
 
     def bias_copy(t, slot):
         return pltpu.make_async_copy(
-            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // 2) * TS, TS)],
+            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
             bias_tile.at[slot],
             sems.at[slot, 4],
         )
@@ -798,13 +800,17 @@ def _kernel_int8_append(
         wait_all(t, slot)
         k = k_tile[slot].astype(jnp.float32)
         v = v_tile[slot].astype(jnp.float32)
-        first_half = jax.lax.rem(t, 2) == 0
-        meta_b = bias_tile[slot][:]  # [bB, TS]
-        meta_ks = ks_tile[slot][:]
-        meta_vs = vs_tile[slot][:]
-        bias64 = jnp.where(first_half, meta_b[:, :TSH], meta_b[:, TSH:])
-        ks64 = jnp.where(first_half, meta_ks[:, :TSH], meta_ks[:, TSH:])
-        vs64 = jnp.where(first_half, meta_vs[:, :TSH], meta_vs[:, TSH:])
+        sub = jax.lax.rem(t, SUB)
+
+        def pick(meta):  # live TSH lanes of the TS superblock
+            out = meta[:, :TSH]
+            for i in range(1, SUB):
+                out = jnp.where(sub == i, meta[:, i * TSH:(i + 1) * TSH], out)
+            return out
+
+        bias64 = pick(bias_tile[slot][:])
+        ks64 = pick(ks_tile[slot][:])
+        vs64 = pick(vs_tile[slot][:])
 
         prod = q[:, None, :] * k
         s = jax.lax.dot_general(
@@ -846,7 +852,7 @@ def _kernel_int8_append(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "block_b", "tile_t", "interpret"),
+    static_argnames=("n_head", "block_b", "tile_t", "sub_tiles", "interpret"),
     donate_argnums=(3, 4, 5, 6),
 )
 def decode_attention_int8_append(
@@ -863,6 +869,7 @@ def decode_attention_int8_append(
     n_head: int = 12,
     block_b: int = 16,
     tile_t: int = 128,
+    sub_tiles: int = 4,
     interpret: bool = False,
 ):
     """Fused quantize-append + int8 decode attention. Returns
@@ -900,8 +907,8 @@ def decode_attention_int8_append(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, tile_t // 2, D), jnp.int8),  # k half-tiles
-            pltpu.VMEM((2, block_b, tile_t // 2, D), jnp.int8),
+            pltpu.VMEM((2, block_b, tile_t // sub_tiles, D), jnp.int8),  # k sub-tiles
+            pltpu.VMEM((2, block_b, tile_t // sub_tiles, D), jnp.int8),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
@@ -914,7 +921,8 @@ def decode_attention_int8_append(
         ],
     )
     kernel = functools.partial(
-        _kernel_int8_append, bB=block_b, TS=tile_t, n_head=n_head
+        _kernel_int8_append, bB=block_b, TS=tile_t, n_head=n_head,
+        SUB=sub_tiles,
     )
     pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
     pos = position.astype(jnp.int32)
@@ -962,6 +970,7 @@ def _kernel_fp_append(
     TS: int,
     n_head: int,
     ROWB: int,
+    SUB: int,
 ):
     """Full-precision fused append+attend: same RMW append as the int8
     variant (no quantization), then the plain flash loop — replaces XLA's
@@ -970,7 +979,8 @@ def _kernel_fp_append(
     layer = scalar_ref[1]
     pos_al = scalar_ref[2] * ROWB  # provably tiling-aligned
     b0 = pl.program_id(0) * bB
-    num_tiles = pos // TS + 1
+    TSH = TS // SUB  # sub-tile k/v streaming (see _kernel_int8_append)
+    num_tiles = pos // TSH + 1
     D = q_ref.shape[1]
     hd = D // n_head
 
@@ -994,14 +1004,14 @@ def _kernel_fp_append(
 
     def copy(ref, dst, t, slot, sem_idx):
         return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS), :],
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TSH, TSH), :],
             dst.at[slot],
             sems.at[slot, sem_idx],
         )
 
     def bias_copy(t, slot):
         return pltpu.make_async_copy(
-            bias_hbm.at[pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
             bias_tile.at[slot],
             sems.at[slot, 2],
         )
@@ -1036,14 +1046,19 @@ def _kernel_fp_append(
         wait_all(t, slot)
         k = k_tile[slot].astype(jnp.float32)
         v = v_tile[slot].astype(jnp.float32)
+        sub = jax.lax.rem(t, SUB)
+        meta_b = bias_tile[slot][:]
+        bias_t = meta_b[:, :TSH]
+        for i in range(1, SUB):
+            bias_t = jnp.where(sub == i, meta_b[:, i * TSH:(i + 1) * TSH], bias_t)
 
         prod = q[:, None, :] * k
         s = jax.lax.dot_general(
             prod, seg, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s + bias_tile[slot][:, :, None]
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TS
+        s = s + bias_t[:, :, None]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TSH
         s = jnp.where(row <= pos, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -1075,7 +1090,7 @@ def _kernel_fp_append(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "block_b", "tile_t", "interpret"),
+    static_argnames=("n_head", "block_b", "tile_t", "sub_tiles", "interpret"),
     donate_argnums=(3, 4),
 )
 def decode_attention_fp_append(
@@ -1090,6 +1105,7 @@ def decode_attention_fp_append(
     n_head: int = 12,
     block_b: int = 16,
     tile_t: int = 128,
+    sub_tiles: int = 4,
     interpret: bool = False,
 ):
     """Fused append + full-precision decode attention; caches updated in
@@ -1120,8 +1136,8 @@ def decode_attention_fp_append(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, tile_t, D), k_cache.dtype),
-            pltpu.VMEM((2, block_b, tile_t, D), v_cache.dtype),
+            pltpu.VMEM((2, block_b, tile_t // sub_tiles, D), k_cache.dtype),
+            pltpu.VMEM((2, block_b, tile_t // sub_tiles, D), v_cache.dtype),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((block_b, 32, D), k_cache.dtype),
             pltpu.VMEM((block_b, 32, D), v_cache.dtype),
@@ -1130,7 +1146,8 @@ def decode_attention_fp_append(
         ],
     )
     kernel = functools.partial(
-        _kernel_fp_append, bB=block_b, TS=tile_t, n_head=n_head, ROWB=ROWB
+        _kernel_fp_append, bB=block_b, TS=tile_t, n_head=n_head, ROWB=ROWB,
+        SUB=sub_tiles,
     )
     pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
     pos = position.astype(jnp.int32)
@@ -1181,6 +1198,7 @@ def _kernel_int4_append(
     bB: int,
     TS: int,
     n_head: int,
+    SUB: int,
 ):
     """int4 fused append+attend: quantize+pack this step's row in-kernel
     (identical math to gpt2.quantize_rows_int4), RMW it into the aliased
@@ -1191,7 +1209,8 @@ def _kernel_int4_append(
     pos_al = scalar_ref[2] * 8
     s_al = scalar_ref[3] * 128
     b0 = pl.program_id(0) * bB
-    num_tiles = pos // TS + 1
+    TSH = TS // SUB  # sub-tile k/v streaming (see _kernel_int8_append)
+    num_tiles = pos // TSH + 1
     D = q_ref.shape[1]
     D2 = D // 2
     hd = D // n_head
@@ -1248,21 +1267,21 @@ def _kernel_int4_append(
 
     def copy4(ref, dst, t, slot, sem_idx):
         return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS), :],
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TSH, TSH), :],
             dst.at[slot],
             sems.at[slot, sem_idx],
         )
 
     def copy3(ref, dst, t, slot, sem_idx):
         return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            ref.at[layer, pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
             dst.at[slot],
             sems.at[slot, sem_idx],
         )
 
     def bias_copy(t, slot):
         return pltpu.make_async_copy(
-            bias_hbm.at[pl.ds(b0, bB), pl.ds(t * TS, TS)],
+            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
             bias_tile.at[slot],
             sems.at[slot, 4],
         )
@@ -1312,6 +1331,17 @@ def _kernel_int4_append(
         wait_all(t, slot)
         k_lo, k_hi = unpack(k_tile[slot])
         v_lo, v_hi = unpack(v_tile[slot])
+        sub = jax.lax.rem(t, SUB)
+
+        def pick(meta):  # live TSH lanes of the TS superblock
+            out = meta[:, :TSH]
+            for i in range(1, SUB):
+                out = jnp.where(sub == i, meta[:, i * TSH:(i + 1) * TSH], out)
+            return out
+
+        ks_t = pick(ks_tile[slot][:])
+        vs_t = pick(vs_tile[slot][:])
+        bias_t = pick(bias_tile[slot][:])
 
         s = jax.lax.dot_general(
             q_lo[:, None, :] * k_lo, seg_lo, (((2,), (0,)), ((), ())),
@@ -1320,16 +1350,16 @@ def _kernel_int4_append(
             q_hi[:, None, :] * k_hi, seg_hi, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * ks_tile[slot][:, :, None]
-        s = s + bias_tile[slot][:, :, None]
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TS
+        s = s * ks_t[:, :, None]
+        s = s + bias_t[:, :, None]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * TSH
         s = jnp.where(row <= pos, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        pv = p * vs_tile[slot][:, :, None]
+        pv = p * vs_t[:, :, None]
         pe_lo = jax.lax.dot_general(
             pv, seg_lo.T, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1371,7 +1401,7 @@ def _kernel_int4_append(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "block_b", "tile_t", "interpret"),
+    static_argnames=("n_head", "block_b", "tile_t", "sub_tiles", "interpret"),
     donate_argnums=(3, 4, 5, 6),
 )
 def decode_attention_int4_append(
@@ -1388,6 +1418,7 @@ def decode_attention_int4_append(
     n_head: int = 12,
     block_b: int = 16,
     tile_t: int = 128,
+    sub_tiles: int = 4,
     interpret: bool = False,
 ):
     """Fused quantize-pack-append + int4 decode attention; caches updated
@@ -1421,8 +1452,8 @@ def decode_attention_int4_append(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_b, tile_t, D2), jnp.int8),
-            pltpu.VMEM((2, block_b, tile_t, D2), jnp.int8),
+            pltpu.VMEM((2, block_b, tile_t // sub_tiles, D2), jnp.int8),
+            pltpu.VMEM((2, block_b, tile_t // sub_tiles, D2), jnp.int8),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
             pltpu.VMEM((2, block_b, tile_t), jnp.float32),
@@ -1435,7 +1466,8 @@ def decode_attention_int4_append(
         ],
     )
     kernel = functools.partial(
-        _kernel_int4_append, bB=block_b, TS=tile_t, n_head=n_head
+        _kernel_int4_append, bB=block_b, TS=tile_t, n_head=n_head,
+        SUB=sub_tiles,
     )
     pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
     pos = position.astype(jnp.int32)

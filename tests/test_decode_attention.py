@@ -176,7 +176,7 @@ def test_int8_append_kernel_matches_unfused(tensors, rng):
     out, kq2, vq2, ks2, vs2 = decode_attention_int8_append(
         q, k_new, v_new, kq, vq, ks, vs, mask,
         jnp.asarray(pos), jnp.asarray(layer),
-        n_head=NH, block_b=4, tile_t=64, interpret=True,
+        n_head=NH, block_b=4, tile_t=64, sub_tiles=4, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
     # the updated caches match the XLA-sequence caches exactly
