@@ -294,3 +294,20 @@ def test_postprocess_edge_cases(tokenizer):
     # no EOS and no SEP at all → everything kept, specials stripped
     ids3 = tokenizer.convert_tokens_to_ids(list("天涯"))
     assert postprocess_tokens(ids3, tokenizer) == "天涯"
+
+
+def test_exact_top_k_grouped_matches_lax(rng):
+    from mmtg_tpu.ops.sampling import exact_top_k_grouped
+
+    for B, V, k in [(4, 13317, 10), (2, 5000, 3), (3, 4096, 64)]:
+        x = jnp.asarray(rng.standard_normal((B, V)), jnp.float32)
+        v_ref, i_ref = jax.lax.top_k(x, k)
+        v, i = exact_top_k_grouped(x, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    # adversarial: all global top-k in ONE group, plus exact ties
+    x = jnp.full((1, 13317), -5.0).at[0, 600:610].set(9.0)
+    v, i = exact_top_k_grouped(x, 10)
+    v_ref, i_ref = jax.lax.top_k(x, 10)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
