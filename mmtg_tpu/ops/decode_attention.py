@@ -867,7 +867,7 @@ def decode_attention_int8_append(
     position: jnp.ndarray,
     layer: jnp.ndarray,
     n_head: int = 12,
-    block_b: int = 16,
+    block_b: int = 128,
     tile_t: int = 128,
     sub_tiles: int = 4,
     interpret: bool = False,
@@ -1103,7 +1103,7 @@ def decode_attention_fp_append(
     position: jnp.ndarray,
     layer: jnp.ndarray,
     n_head: int = 12,
-    block_b: int = 16,
+    block_b: int = 128,
     tile_t: int = 128,
     sub_tiles: int = 4,
     interpret: bool = False,
@@ -1416,7 +1416,7 @@ def decode_attention_int4_append(
     position: jnp.ndarray,
     layer: jnp.ndarray,
     n_head: int = 12,
-    block_b: int = 16,
+    block_b: int = 128,
     tile_t: int = 128,
     sub_tiles: int = 4,
     interpret: bool = False,
