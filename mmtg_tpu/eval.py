@@ -54,18 +54,20 @@ def corpus_bleu(
         match, total = 0, 0
         for hyp, refs in zip(hypotheses, references):
             hyp_ng = _ngrams(hyp, n)
-            if not hyp_ng:
-                continue
             best = Counter()
             for ref in refs:
                 ref_ng = _ngrams(ref, n)
                 for g, c in ref_ng.items():
                     best[g] = max(best[g], c)
             match += sum(min(c, best[g]) for g, c in hyp_ng.items())
-            total += sum(hyp_ng.values())
+            # nltk modified_precision clamps the denominator to 1 PER
+            # HYPOTHESIS (Fraction(num, max(1, den))) — a hypothesis
+            # shorter than n still contributes 1 to the corpus
+            # denominator, so such corpora yield p_n = eps/len, not 0.
+            total += max(sum(hyp_ng.values()), 1)
         # NLTK method-1: only zero numerators get the epsilon count
         smoothed = match if match > 0 else epsilon
-        results[f"p{n}"] = smoothed / total if total > 0 else 0.0
+        results[f"p{n}"] = smoothed / max(total, 1)
         if n == 1:
             unigram_match = match
     # brevity penalty

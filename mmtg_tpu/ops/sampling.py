@@ -117,6 +117,10 @@ def exact_top_k_grouped(
     registers instead.
     """
     B, V = logits.shape
+    if k > group or group >= V:
+        # group-stage top-k needs k <= group; degenerate groupings gain
+        # nothing — fall back to the exact full-vocab call
+        return jax.lax.top_k(logits, min(k, V))
     G = -(-V // group)
     pad = G * group - V
     if pad:

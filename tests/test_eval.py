@@ -101,3 +101,20 @@ def test_evaluate_files_mismatch_raises(tmp_path):
     ref.write_text("a\nb\n", encoding="utf-8")
     with pytest.raises(ValueError):
         evaluate_files(str(hyp), str(ref))
+
+
+def test_bleu_short_hypotheses_zero_denominator():
+    """Hypotheses shorter than n: nltk clamps each hypothesis's n-gram
+    denominator to 1 (modified_precision) and method-1 smooths the zero
+    numerator — p_n = eps/len(corpus), not 0 (round-2 review finding)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.bleu_score import SmoothingFunction
+    from nltk.translate.bleu_score import corpus_bleu as nltk_bleu
+
+    hyps = [["a"], ["b"]]
+    refs = [[["a", "c"]], [["b", "d"]]]
+    ours = corpus_bleu(hyps, refs, max_n=2)
+    sm = SmoothingFunction(epsilon=0.1).method1
+    ref = nltk_bleu(refs, hyps, weights=(0.5, 0.5), smoothing_function=sm)
+    assert abs(ours["bleu2"] - ref) < 1e-9
+    assert ours["bleu2"] > 0.0

@@ -22,18 +22,14 @@ def direct(x):
 
 
 from functools import partial
+
+from mmtg_tpu.ops.sampling import exact_top_k_grouped
+
+
 @partial(jax.jit, static_argnames=('group',))
 def grouped(x, group=1024):
-    Bx, Vx = x.shape
-    g = -(-Vx // group)
-    pad = g * group - Vx
-    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    xg = xp.reshape(Bx, g, group)
-    v1, i1 = jax.lax.top_k(xg, K)  # [B, g, K]
-    v2, i2 = jax.lax.top_k(v1.reshape(Bx, g * K), K)  # [B, K]
-    grp = i2 // K
-    within = jnp.take_along_axis(i1.reshape(Bx, g * K), i2, axis=1)
-    return v2, grp * group + within
+    # the shipped (tested) utility — probe the same code that ships
+    return exact_top_k_grouped(x, K, group=group)
 
 
 @jax.jit
