@@ -283,6 +283,11 @@ def mha_train(qkv, qkv_bias, bias, seed, n_head, dropout_rate=0.0,
       qkv_bias: ``[n_head*384]`` head-major padded projection bias
         (second output of ``pad_qkv_weights``), added on-chip.
       bias: ``[B, T]`` f32 additive key bias (0 live / NEG_INF padded).
+        CONTRACT: treated as non-differentiable data — the custom VJP
+        returns a ZERO cotangent for it (the true softmax gradient wrt
+        an additive bias is nonzero). Callers pass a mask-derived,
+        non-trainable bias; do NOT reuse ``mha_train`` with a learned
+        bias, it would silently train on zero gradients.
       seed: ``[1]`` int32 dropout seed (ignored when dropout_rate == 0).
       n_head: head count (static).
       dropout_rate: attention-prob dropout (static; 0 disables).
