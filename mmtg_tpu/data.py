@@ -258,10 +258,17 @@ def make_synthetic_records(
     seq_len: int = 5,
     sentences: int = 10,
     topic: str = "雪山",
+    lyrics_pool: Optional[List[str]] = None,
 ) -> List[dict]:
-    """Random records in the reference pkl schema (MyDataset.py:34-44)."""
+    """Random records in the reference pkl schema (MyDataset.py:34-44).
+
+    ``lyrics_pool`` overrides the default Chinese sentences — pass English
+    lines (and a smaller ``emb_size`` for CLIP) to build English-variant
+    fixtures (reference README.md:19-20,86)."""
     records = []
-    base_sents = ["青山一道同云雨", "明月何曾是两乡", "海内存知己", "天涯若比邻"]
+    base_sents = lyrics_pool or [
+        "青山一道同云雨", "明月何曾是两乡", "海内存知己", "天涯若比邻"
+    ]
     for i in range(n):
         rec = {
             "topic": topic,

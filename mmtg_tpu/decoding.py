@@ -236,7 +236,12 @@ def _generate_jit(
 def postprocess_tokens(token_ids, tokenizer) -> str:
     """Host-side cleanup of one generated row (``generate.py:222-235``):
     cut at the 10th ``[#EOS#]`` (or first ``[SEP]``), strip specials,
-    join sentences with '，'."""
+    join sentences with '，'.
+
+    Vocab-aware: WordPiece (Chinese) content tokens concatenate directly;
+    byte-level BPE (English variant) content tokens are byte-unicode
+    symbols and decode through the tokenizer's ``byte_decoder`` so the
+    output is readable text, not the BPE alphabet."""
     toks = tokenizer.convert_ids_to_tokens([int(t) for t in token_ids])
     eos_idx = [i for i, v in enumerate(toks) if v == "[#EOS#]"]
     if len(eos_idx) >= 10 and "[SEP]" not in toks[: eos_idx[-1]]:
@@ -245,12 +250,28 @@ def postprocess_tokens(token_ids, tokenizer) -> str:
         toks = toks[: toks.index("[SEP]") + 1]
     else:
         toks = toks + ["[SEP]"]
-    s = "".join(toks)
-    for spec, rep in (("[SEP]", ""), ("[PAD]", ""), ("[#START#]", ""), ("[#EOS#]", "，")):
-        s = s.replace(spec, rep)
-    while s and s[-1] == "，":
-        s = s[:-1]
-    return s
+    byte_decoder = getattr(tokenizer, "byte_decoder", None)
+
+    def join(chunk):
+        s = "".join(chunk)
+        if byte_decoder is None:
+            return s
+        return bytes(
+            byte_decoder[c] for c in s if c in byte_decoder
+        ).decode("utf-8", errors="replace")
+
+    sents, cur = [], []
+    for t in toks:
+        if t == "[#EOS#]":
+            sents.append(join(cur))
+            cur = []
+        elif t not in ("[SEP]", "[PAD]", "[#START#]"):
+            cur.append(t)
+    if cur:
+        sents.append(join(cur))
+    while sents and not sents[-1]:
+        sents.pop()
+    return "，".join(sents)
 
 
 def generate_sharded(

@@ -50,6 +50,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["train", "reference_infer"])
     p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"],
                    help="KV cache precision (int8 halves decode HBM traffic)")
+    p.add_argument("--variant", default="chinese", choices=["chinese", "english"],
+                   help="'english' = CLIP embeddings + byte-level-BPE GPT-2 "
+                        "(reference README.md:19-20,86); --tokenizer_path then "
+                        "points at a vocab.json+merges.txt directory")
+    p.add_argument("--clip_dim", default=512, type=int,
+                   help="CLIP embedding width for --variant english")
     return p
 
 
@@ -91,16 +97,28 @@ def replicate_batch(rows: List[Dict[str, np.ndarray]], n_samples: int) -> Dict:
     }
 
 
-def main(argv=None) -> None:
+def main(argv=None, mcfg: ModelConfig | None = None,
+         dcfg: DataConfig | None = None) -> None:
+    """CLI entry; ``mcfg``/``dcfg`` injectable so tests can drive the
+    full pipeline with a tiny model on the CPU mesh."""
     args = build_arg_parser().parse_args(argv)
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    from mmtg_tpu.bpe import load_tokenizer
     from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
-    from mmtg_tpu.tokenizer import WordPieceTokenizer
 
     logger = setup_logger()
-    mcfg, dcfg = ModelConfig(), DataConfig()
+    if mcfg is None or dcfg is None:
+        if args.variant == "english":
+            from mmtg_tpu.configs import english_variant
+
+            tok = load_tokenizer(args.tokenizer_path)
+            mcfg, dcfg = english_variant(
+                clip_dim=args.clip_dim, gpt2_vocab=len(tok)
+            )
+        else:
+            mcfg, dcfg = ModelConfig(), DataConfig()
     gcfg = GenerateConfig(
         batch_size=args.batch_size,
         seed=args.seed,
@@ -114,7 +132,7 @@ def main(argv=None) -> None:
         cache_dtype=args.cache_dtype,
     )
 
-    tokenizer = WordPieceTokenizer.from_file(args.tokenizer_path)
+    tokenizer = load_tokenizer(args.tokenizer_path)
     test_data = MMTGDataset(args.data_path, tokenizer, dcfg, if_train=False)
     logger.info("Data test loaded: %d rows × %d samples", len(test_data),
                 args.n_samples)
@@ -144,7 +162,11 @@ def main(argv=None) -> None:
         toks = np.asarray(generate_batch(params, const, mcfg, dcfg, gcfg, batch, sub))
         tokens_generated += toks.shape[0] * gcfg.length
         for r in range(len(rows) * args.n_samples):
-            outputs.append(postprocess_tokens(toks[r], tokenizer))
+            # one sample per output line: byte-level BPE vocabs can decode
+            # to literal line breaks (newline bytes, \x85, U+2028, ...),
+            # which would split a sample across lines in save_samples_path
+            text = postprocess_tokens(toks[r], tokenizer)
+            outputs.append(" ".join(text.splitlines()) if text else text)
     dt = time.time() - t0
     logger.info("Generated %d sequences (%.1f tokens/s) in %.1fs",
                 len(outputs), tokens_generated / dt, dt)

@@ -56,8 +56,8 @@ def main(argv=None) -> None:
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    from mmtg_tpu.bpe import load_tokenizer
     from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
-    from mmtg_tpu.tokenizer import WordPieceTokenizer
 
     mcfg, dcfg = ModelConfig(), DataConfig()
     gcfg = GenerateConfig(
@@ -68,7 +68,7 @@ def main(argv=None) -> None:
         length=dcfg.max_seq_length,
         cache_dtype=args.cache_dtype,
     )
-    tokenizer = WordPieceTokenizer.from_file(args.tokenizer_path)
+    tokenizer = load_tokenizer(args.tokenizer_path)
     params = load_params(args.model_path, mcfg)
     const = {
         "wenlan_table": jnp.asarray(

@@ -92,12 +92,12 @@ def main(argv=None) -> None:
     p.add_argument("--log_interval", default=50, type=int)
     args = p.parse_args(argv)
 
-    from mmtg_tpu.tokenizer import WordPieceTokenizer
+    from mmtg_tpu.bpe import load_tokenizer
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
     logger = setup_logger()
-    tokenizer = WordPieceTokenizer.from_file(args.vocab_path)
+    tokenizer = load_tokenizer(args.vocab_path)
     with open(args.corpus, encoding="utf-8") as f:
         rows = pack_corpus(f.readlines(), tokenizer, args.seq_len)
     logger.info("Packed corpus: %d rows of %d tokens", len(rows), args.seq_len)

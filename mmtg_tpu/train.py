@@ -272,6 +272,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="disable GPT-2 block rematerialization")
     p.add_argument("--model_config_json", default="", type=str,
                    help="GPT-2 config JSON (reference config/model_config.json)")
+    p.add_argument("--variant", default="chinese", choices=["chinese", "english"],
+                   help="'english' = CLIP embeddings + byte-level-BPE GPT-2 "
+                        "(reference README.md:19-20,86); --vocab_path then "
+                        "points at a vocab.json+merges.txt directory")
+    p.add_argument("--clip_dim", default=512, type=int,
+                   help="CLIP embedding width for --variant english")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host pods")
     return p
@@ -315,8 +321,8 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    from mmtg_tpu.bpe import load_tokenizer
     from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
-    from mmtg_tpu.tokenizer import WordPieceTokenizer
 
     if args.multihost:
         # multi-host pod slice: coordinator/process env comes from the
@@ -328,7 +334,16 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
         jax.config.update("jax_debug_nans", True)
 
     if mcfg is None:
-        if args.model_config_json:
+        if args.variant == "english":
+            from mmtg_tpu.configs import english_variant
+
+            tok = load_tokenizer(args.vocab_path)
+            mcfg, en_dcfg = english_variant(
+                clip_dim=args.clip_dim, gpt2_vocab=len(tok)
+            )
+            if dcfg is None:
+                dcfg = en_dcfg
+        elif args.model_config_json:
             from mmtg_tpu.configs import GPT2Config
 
             mcfg = ModelConfig(gpt2=GPT2Config.from_json_file(args.model_config_json))
@@ -351,7 +366,7 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
         remat=not args.no_remat,
     )
 
-    tokenizer = WordPieceTokenizer.from_file(args.vocab_path)
+    tokenizer = load_tokenizer(args.vocab_path)
     logger.info("Loading data...")
     train_data = MMTGDataset(args.train_data_path, tokenizer, dcfg, if_train=True)
     valid_data = MMTGDataset(args.val_data_path, tokenizer, dcfg, if_train=True)
