@@ -161,7 +161,18 @@ class MMTGDataset:
         }
         if if_train:
             cols["rating"] = np.zeros((n,), np.float32)
+        # Test-set rows carry per-step human relevance annotations
+        # ``score_0..score_4`` (reference ``README.md:66-78``). The
+        # reference code never consumes them; we surface them as a
+        # ``scores`` [n, seq_len] side column (NaN where absent) so
+        # analysis tooling can correlate generations with the human
+        # ratings — ``scores`` is NOT part of the model batch (``batches``
+        # and ``_ARRAY_KEYS`` exclude it).
+        self.scores = np.full((n, seq_len), np.nan, np.float32)
         for i, item in enumerate(raw):
+            for k in range(seq_len):
+                if f"score_{k}" in item:
+                    self.scores[i, k] = float(item[f"score_{k}"])
             tids, tmask, ttype = encode_topic(tokenizer, item["topic"], cfg)
             lids, lmask, ltype = encode_lyrics(tokenizer, item["lyrics"], cfg)
             cols["topic_ids"][i] = tids

@@ -233,6 +233,83 @@ def _generate_jit(
     return tokens[:orig_B] if pad_b else tokens
 
 
+def teacher_forced_decode_logits(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-step logits of the KV-cached decode engine under teacher
+    forcing: feed ``tokens`` (``[B, K]``, position 0 = ``[#START#]``)
+    through the SAME prefill + per-token cached step the sampler uses, and
+    return ``[B, K, V]`` where row ``j`` is the next-token distribution
+    after consuming ``tokens[:, :j+1]``.
+
+    This is the parity surface for the reference's decode-time cost
+    center: one cached step here must produce the logits the reference
+    gets from a FULL re-forward of the growing prefix per token
+    (``generate.py:117-124`` calls the inference branch
+    ``model.py:291-326`` once per position). Compare against
+    :func:`mmtg_tpu.oracle.oracle_forward_infer` at each prefix length.
+    """
+    table = const["wenlan_table"]
+    scheme = (
+        infer_scheme_type_ids
+        if gcfg.type_id_scheme == "reference_infer"
+        else train_scheme_type_ids
+    )
+    B, K = tokens.shape
+    P = dcfg.topic_prompt_length
+    capacity = _round_up(P + K + 1, 128)
+
+    fused, _ = encode_experiences(
+        params, mcfg, batch["topic_emb"], batch["img_embs"], batch["r_embs"],
+        use_fused_gru=False,
+    )
+    embeds = decoder_input_embeds(
+        params, table, dcfg, fused, batch["topic_ids"], tokens[:, :1]
+    )
+    type_ids = jnp.concatenate(
+        [batch["tpw_type_ids"].astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)],
+        axis=1,
+    )
+    attn_mask = jnp.concatenate(
+        [batch["tpw_attention_mask"].astype(jnp.int32), jnp.ones((B, 1), jnp.int32)],
+        axis=1,
+    )
+    prefill_logits, cache = prefill_cache(
+        params["gpt2"], mcfg.gpt2, embeds, jnp.arange(P + 1)[None, :],
+        type_ids, attn_mask, capacity, quantized=gcfg.cache_dtype,
+    )
+    key_mask = jnp.zeros((B, capacity), jnp.int32)
+    key_mask = jax.lax.dynamic_update_slice(key_mask, attn_mask, (0, 0))
+
+    win = dcfg.two_sents_length
+    T_steps = fused.shape[1]
+    out = [prefill_logits[:, -1]]
+    for j in range(1, K):
+        tok = tokens[:, j]
+        wl = wenlan_embed(table, tok)
+        w_idx = jnp.minimum(j // win, T_steps - 1)
+        add = jnp.where(j < win * T_steps, 1.0, 0.0)
+        wl = wl + add * fused[:, w_idx]
+        x = project_to_gpt2(params, wl)
+        tt = scheme(jnp.asarray(j)[None], tok, dcfg)
+        not_pad = (tok != SPECIAL.pad_id).astype(jnp.int32)
+        key_mask = jax.lax.dynamic_update_slice(
+            key_mask, not_pad[:, None], (0, P + j)
+        )
+        logits, cache = gpt2_decode_step(
+            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask,
+            attn_impl="xla",
+        )
+        out.append(logits)
+    return jnp.stack(out, axis=1)
+
+
 def postprocess_tokens(token_ids, tokenizer) -> str:
     """Host-side cleanup of one generated row (``generate.py:222-235``):
     cut at the 10th ``[#EOS#]`` (or first ``[SEP]``), strip specials,

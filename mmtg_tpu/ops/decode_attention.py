@@ -172,6 +172,15 @@ def decode_attention(
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
+    if block_b % 8 != 0 and not interpret:
+        # Mosaic sublane tiling is 8 rows: a non-multiple-of-8 batch block
+        # makes the cache DMA slices unprovably aligned and fails deep in
+        # Mosaic with a cryptic divisibility error. decoding.generate pads
+        # ragged batches to 8; direct callers must do the same.
+        raise ValueError(
+            f"batch {B} resolves to block_b={block_b}, not a multiple of 8 "
+            "(Mosaic sublane tiling) — pad the batch to a multiple of 8"
+        )
     if T % tile_t != 0:
         raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
     scale = 1.0 / math.sqrt(hd)
@@ -361,6 +370,15 @@ def decode_attention_int8(
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
+    if block_b % 8 != 0 and not interpret:
+        # Mosaic sublane tiling is 8 rows: a non-multiple-of-8 batch block
+        # makes the cache DMA slices unprovably aligned and fails deep in
+        # Mosaic with a cryptic divisibility error. decoding.generate pads
+        # ragged batches to 8; direct callers must do the same.
+        raise ValueError(
+            f"batch {B} resolves to block_b={block_b}, not a multiple of 8 "
+            "(Mosaic sublane tiling) — pad the batch to a multiple of 8"
+        )
     if T % tile_t != 0:
         raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
     scale = 1.0 / math.sqrt(hd)
@@ -591,6 +609,15 @@ def decode_attention_int4(
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
+    if block_b % 8 != 0 and not interpret:
+        # Mosaic sublane tiling is 8 rows: a non-multiple-of-8 batch block
+        # makes the cache DMA slices unprovably aligned and fails deep in
+        # Mosaic with a cryptic divisibility error. decoding.generate pads
+        # ragged batches to 8; direct callers must do the same.
+        raise ValueError(
+            f"batch {B} resolves to block_b={block_b}, not a multiple of 8 "
+            "(Mosaic sublane tiling) — pad the batch to a multiple of 8"
+        )
     if T % tile_t != 0:
         raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
     scale = 1.0 / math.sqrt(hd)
@@ -664,6 +691,7 @@ def _kernel_int8_append(
     TS: int,
     n_head: int,
     SUB: int,
+    SCORE_DT=jnp.float32,
 ):
     """Fused append+attend (int8): quantizes this step's k/v row, inserts
     it into the in-place (input_output_aliased) cache via an aligned
@@ -691,6 +719,55 @@ def _kernel_int8_append(
     num_tiles = pos // TSH + 1
     D = q_ref.shape[1]
     hd = D // n_head
+
+    def copy4(ref, dst, t, slot, sem_idx):
+        return pltpu.make_async_copy(
+            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TSH, TSH), :],
+            dst.at[slot],
+            sems.at[slot, sem_idx],
+        )
+
+    def copy3(ref, dst, t, slot, sem_idx):
+        # lane-dim offsets need 128 alignment: fetch the full TS
+        # superblock containing sub-tile t (refetched per sub-tile — a
+        # few % of the k/v bytes; no conditional DMA bookkeeping)
+        return pltpu.make_async_copy(
+            ref.at[layer, pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
+            dst.at[slot],
+            sems.at[slot, sem_idx],
+        )
+
+    def bias_copy(t, slot):
+        return pltpu.make_async_copy(
+            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
+            bias_tile.at[slot],
+            sems.at[slot, 4],
+        )
+
+    def start_all(t, slot):
+        copy4(k_hbm, k_tile, t, slot, 0).start()
+        copy4(v_hbm, v_tile, t, slot, 1).start()
+        copy3(ks_hbm, ks_tile, t, slot, 2).start()
+        copy3(vs_hbm, vs_tile, t, slot, 3).start()
+        bias_copy(t, slot).start()
+
+    def wait_all(t, slot):
+        copy4(k_hbm, k_tile, t, slot, 0).wait()
+        copy4(v_hbm, v_tile, t, slot, 1).wait()
+        copy3(ks_hbm, ks_tile, t, slot, 2).wait()
+        copy3(vs_hbm, vs_tile, t, slot, 3).wait()
+        bias_copy(t, slot).wait()
+
+    # ---- start streaming IMMEDIATELY ------------------------------------
+    # The appended row lands in the LAST tile only (pos_al = pos//8*8 ≥
+    # (pos//TSH)*TSH because TSH is a multiple of 8), so every earlier
+    # tile can stream while the RMW append is still in flight — the
+    # per-program serial [RMW-read → insert → write-back] chain otherwise
+    # sits in front of the pipeline as pure ramp latency (~4 programs ×
+    # the DMA round trips per call).
+    @pl.when(num_tiles > 1)
+    def _():
+        start_all(0, 0)
 
     # ---- read the RMW blocks -------------------------------------------
     k_rd = pltpu.make_async_copy(
@@ -740,53 +817,26 @@ def _kernel_int8_append(
     )
     k_wr.start(); v_wr.start(); ks_wr.start(); vs_wr.start()
 
-    def copy4(ref, dst, t, slot, sem_idx):
-        return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds(t * TSH, TSH), :],
-            dst.at[slot],
-            sems.at[slot, sem_idx],
-        )
+    def wait_rmw_writes():
+        k_wr.wait(); v_wr.wait(); ks_wr.wait(); vs_wr.wait()
 
-    def copy3(ref, dst, t, slot, sem_idx):
-        # lane-dim offsets need 128 alignment: fetch the full TS
-        # superblock containing sub-tile t (refetched per sub-tile — a
-        # few % of the k/v bytes; no conditional DMA bookkeeping)
-        return pltpu.make_async_copy(
-            ref.at[layer, pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
-            dst.at[slot],
-            sems.at[slot, sem_idx],
-        )
+    # single-tile case (earliest steps): tile 0 IS the last tile and reads
+    # the appended row — it could not be started early above
+    @pl.when(num_tiles == 1)
+    def _():
+        wait_rmw_writes()
+        start_all(0, 0)
 
-    def bias_copy(t, slot):
-        return pltpu.make_async_copy(
-            bias_hbm.at[pl.ds(b0, bB), pl.ds((t // SUB) * TS, TS)],
-            bias_tile.at[slot],
-            sems.at[slot, 4],
-        )
-
-    def start_all(t, slot):
-        copy4(k_hbm, k_tile, t, slot, 0).start()
-        copy4(v_hbm, v_tile, t, slot, 1).start()
-        copy3(ks_hbm, ks_tile, t, slot, 2).start()
-        copy3(vs_hbm, vs_tile, t, slot, 3).start()
-        bias_copy(t, slot).start()
-
-    def wait_all(t, slot):
-        copy4(k_hbm, k_tile, t, slot, 0).wait()
-        copy4(v_hbm, v_tile, t, slot, 1).wait()
-        copy3(ks_hbm, ks_tile, t, slot, 2).wait()
-        copy3(vs_hbm, vs_tile, t, slot, 3).wait()
-        bias_copy(t, slot).wait()
-
-    # the appended row lands in the last tile — tile reads start after the
-    # write-backs complete (tiny blocks; latency hides under q/seg setup)
-    k_wr.wait(); v_wr.wait(); ks_wr.wait(); vs_wr.wait()
-    start_all(0, 0)
-
-    q = q_ref[:].astype(jnp.float32)
+    # SCORE_DT: element type of the N-padded score dot. Measured r03 on
+    # hardware: bfloat16 REGRESSES (110.1k vs 117.6k tok/s b512 int8,
+    # same session) — the TPU already runs these f32 dots with bf16
+    # internals, so the explicit cast only adds VPU passes. f32 default;
+    # the parameter stays for reproducibility of that measurement.
+    q = q_ref[:].astype(SCORE_DT)
     lane = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0)
     head = jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
     seg = (lane // hd == head).astype(jnp.float32)  # [D, H]
+    seg_s = seg.astype(SCORE_DT)
 
     def body(t, carry):
         m, l, acc = carry
@@ -795,10 +845,18 @@ def _kernel_int8_append(
 
         @pl.when(t + 1 < num_tiles)
         def _():
+            # the LAST tile reads the appended row + scale lane — its
+            # fetch orders after the RMW write-backs (fires exactly once:
+            # t runs 0..num_tiles-1 and num_tiles >= 2 on this path; the
+            # num_tiles == 1 case waits at kernel entry instead)
+            @pl.when(t + 1 == num_tiles - 1)
+            def _():
+                wait_rmw_writes()
+
             start_all(t + 1, nxt)
 
         wait_all(t, slot)
-        k = k_tile[slot].astype(jnp.float32)
+        k = k_tile[slot].astype(SCORE_DT)
         v = v_tile[slot].astype(jnp.float32)
         sub = jax.lax.rem(t, SUB)
 
@@ -814,7 +872,7 @@ def _kernel_int8_append(
 
         prod = q[:, None, :] * k
         s = jax.lax.dot_general(
-            prod, seg, (((2,), (0,)), ((), ())),
+            prod, seg_s, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         s = s * ks64[:, :, None]
@@ -852,7 +910,9 @@ def _kernel_int8_append(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "block_b", "tile_t", "sub_tiles", "interpret"),
+    static_argnames=(
+        "n_head", "block_b", "tile_t", "sub_tiles", "interpret", "score_dtype"
+    ),
     donate_argnums=(3, 4, 5, 6),
 )
 def decode_attention_int8_append(
@@ -871,6 +931,7 @@ def decode_attention_int8_append(
     tile_t: int = 128,
     sub_tiles: int = 4,
     interpret: bool = False,
+    score_dtype: str = "float32",
 ):
     """Fused quantize-append + int8 decode attention. Returns
     ``(ctx [B, D], k_cache, v_cache, k_scale, v_scale)`` with the caches
@@ -881,6 +942,15 @@ def decode_attention_int8_append(
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
+    if block_b % 8 != 0 and not interpret:
+        # Mosaic sublane tiling is 8 rows: a non-multiple-of-8 batch block
+        # makes the cache DMA slices unprovably aligned and fails deep in
+        # Mosaic with a cryptic divisibility error. decoding.generate pads
+        # ragged batches to 8; direct callers must do the same.
+        raise ValueError(
+            f"batch {B} resolves to block_b={block_b}, not a multiple of 8 "
+            "(Mosaic sublane tiling) — pad the batch to a multiple of 8"
+        )
     if T % tile_t != 0:
         raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
     scale = 1.0 / math.sqrt(hd)
@@ -922,7 +992,7 @@ def decode_attention_int8_append(
     )
     kernel = functools.partial(
         _kernel_int8_append, bB=block_b, TS=tile_t, n_head=n_head,
-        SUB=sub_tiles,
+        SUB=sub_tiles, SCORE_DT=jnp.dtype(score_dtype).type,
     )
     pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
     pos = position.astype(jnp.int32)
@@ -1114,6 +1184,15 @@ def decode_attention_fp_append(
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
+    if block_b % 8 != 0 and not interpret:
+        # Mosaic sublane tiling is 8 rows: a non-multiple-of-8 batch block
+        # makes the cache DMA slices unprovably aligned and fails deep in
+        # Mosaic with a cryptic divisibility error. decoding.generate pads
+        # ragged batches to 8; direct callers must do the same.
+        raise ValueError(
+            f"batch {B} resolves to block_b={block_b}, not a multiple of 8 "
+            "(Mosaic sublane tiling) — pad the batch to a multiple of 8"
+        )
     if T % tile_t != 0:
         raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
     # 32 rows: a multiple of every HBM sublane tiling (s8:8, bf16:16, f32:8)
@@ -1428,6 +1507,15 @@ def decode_attention_int4_append(
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
+    if block_b % 8 != 0 and not interpret:
+        # Mosaic sublane tiling is 8 rows: a non-multiple-of-8 batch block
+        # makes the cache DMA slices unprovably aligned and fails deep in
+        # Mosaic with a cryptic divisibility error. decoding.generate pads
+        # ragged batches to 8; direct callers must do the same.
+        raise ValueError(
+            f"batch {B} resolves to block_b={block_b}, not a multiple of 8 "
+            "(Mosaic sublane tiling) — pad the batch to a multiple of 8"
+        )
     if T % tile_t != 0:
         raise ValueError(f"capacity {T} not divisible by tile {tile_t}")
     scale = 1.0 / math.sqrt(hd)

@@ -102,9 +102,20 @@ def _dropout_keep(seed_ref, shape, rate: float):
     mask is regenerated bit-exactly and never stored. (Mosaic accepts at
     most 2 seed words.)"""
     flat_pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    thr = jnp.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
+    if INTERPRET:
+        # interpret mode (CI CPU) can't lower the Mosaic hardware PRNG;
+        # substitute a threefry stream keyed identically on
+        # (step seed, program id) — same structure, so the fwd/bwd
+        # regeneration invariant is exercised in CI. On hardware the
+        # rbg path below runs (~an order of magnitude cheaper).
+        key = jax.random.fold_in(
+            jax.random.key(seed_ref[0].astype(jnp.uint32)), flat_pid
+        )
+        bits = jax.random.bits(key, shape, jnp.uint32)
+        return bits >= thr
     pltpu.prng_seed(seed_ref[0], flat_pid)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    thr = jnp.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
     return bits >= thr
 
 

@@ -50,6 +50,15 @@ def main() -> None:
                         "order differs between XLA and torch)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                    help="cpu (default) = deterministic f32 parity")
+    p.add_argument("--branch", default="all",
+                   choices=["train", "infer", "decode", "all"],
+                   help="parity surface: teacher-forced train forward "
+                        "(model.py:270-288), the divergent inference "
+                        "branch (model.py:291-326, batch 1), and/or the "
+                        "KV-cached decode step vs per-prefix re-forwards "
+                        "(generate.py:117-124)")
+    p.add_argument("--decode_prefix", default=26, type=int,
+                   help="prefix length for the decode-step check")
     p.add_argument("--make-synthetic-ckpt", default="",
                    help="first write a random reference-format .pth here "
                         "(full-size model) so the harness can self-demo")
@@ -104,30 +113,87 @@ def main() -> None:
     ds = MMTGDataset(args.data, tokenizer, dcfg, if_train=False)
     const = {"wenlan_table": jnp.asarray(table)}
 
-    worst, results = 0.0, []
-    for bi, batch in enumerate(ds.batches(args.batch_size)):
-        if bi >= args.max_batches:
-            break
-        batch.pop("sample_mask", None)
-        with torch.no_grad():
-            ref_logits, ref_kl = oracle_forward(
-                oracle, mcfg, dcfg, batch, table, mcfg.self_att_heads
-            )
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = mmtg_forward_train(params, const, mcfg, dcfg, jb, deterministic=True)
-        diff = np.abs(np.asarray(out.logits) - ref_logits.numpy())
-        kl_diff = abs(float(out.kl_per_sample.mean()) - float(ref_kl))
-        results.append(
-            {"batch": bi, "max_abs_logits_diff": float(diff.max()),
-             "mean_abs_logits_diff": float(diff.mean()), "kl_abs_diff": kl_diff}
-        )
-        worst = max(worst, float(diff.max()))
+    report = {"ckpt": args.ckpt, "atol": args.atol, "branches": {}}
+    worst = 0.0
 
-    ok = worst <= args.atol
-    print(json.dumps({
-        "ckpt": args.ckpt, "batches": len(results), "atol": args.atol,
-        "max_abs_logits_diff": worst, "ok": ok, "per_batch": results,
-    }))
+    if args.branch in ("train", "all"):
+        results, bworst = [], 0.0
+        for bi, batch in enumerate(ds.batches(args.batch_size)):
+            if bi >= args.max_batches:
+                break
+            batch.pop("sample_mask", None)
+            with torch.no_grad():
+                ref_logits, ref_kl = oracle_forward(
+                    oracle, mcfg, dcfg, batch, table, mcfg.self_att_heads
+                )
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            out = mmtg_forward_train(params, const, mcfg, dcfg, jb,
+                                     deterministic=True)
+            diff = np.abs(np.asarray(out.logits) - ref_logits.numpy())
+            kl_diff = abs(float(out.kl_per_sample.mean()) - float(ref_kl))
+            results.append(
+                {"batch": bi, "max_abs_logits_diff": float(diff.max()),
+                 "mean_abs_logits_diff": float(diff.mean()),
+                 "kl_abs_diff": kl_diff}
+            )
+            bworst = max(bworst, float(diff.max()))
+        report["branches"]["train"] = {
+            "max_abs_logits_diff": bworst, "per_batch": results,
+        }
+        worst = max(worst, bworst)
+
+    if args.branch in ("infer", "decode", "all"):
+        from mmtg_tpu.configs import GenerateConfig
+        from mmtg_tpu.decoding import teacher_forced_decode_logits
+        from mmtg_tpu.models.mmtg import mmtg_forward_infer
+        from mmtg_tpu.oracle import oracle_forward_infer
+
+        # batch 1: the reference's inference branch peeks at element 0
+        batch = next(ds.batches(1))
+        batch.pop("sample_mask", None)
+        K = max(2, args.decode_prefix)
+        tokens = np.asarray(batch["targets"])[:, :K].copy()
+        tokens[:, 0] = 1  # generation seeds with a bare [#START#]
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        if args.branch in ("infer", "all"):
+            with torch.no_grad():
+                ref = oracle_forward_infer(
+                    oracle, mcfg, dcfg, batch, table, tokens
+                )
+            jb_prefix = dict(jb, targets=jnp.asarray(tokens))
+            out = mmtg_forward_infer(params, const, mcfg, dcfg, jb_prefix,
+                                     type_id_scheme="reference_infer")
+            d = float(np.abs(np.asarray(out.logits) - ref.numpy()).max())
+            report["branches"]["infer"] = {
+                "max_abs_logits_diff": d, "prefix_len": K,
+            }
+            worst = max(worst, d)
+
+        if args.branch in ("decode", "all"):
+            gcfg = GenerateConfig(type_id_scheme="reference_infer",
+                                  attn_impl="xla")
+            ours = np.asarray(teacher_forced_decode_logits(
+                params, const, mcfg, dcfg, gcfg, jb, jnp.asarray(tokens)
+            ))
+            d, per_prefix = 0.0, []
+            with torch.no_grad():
+                for j in range(0, K, max(K // 6, 1)):
+                    ref = oracle_forward_infer(
+                        oracle, mcfg, dcfg, batch, table, tokens[:, : j + 1]
+                    )
+                    dj = float(np.abs(ours[:, j] - ref[:, -1].numpy()).max())
+                    per_prefix.append({"prefix_len": j + 1,
+                                       "max_abs_logits_diff": dj})
+                    d = max(d, dj)
+            report["branches"]["decode"] = {
+                "max_abs_logits_diff": d, "per_prefix": per_prefix,
+            }
+            worst = max(worst, d)
+
+    report["max_abs_logits_diff"] = worst
+    report["ok"] = ok = worst <= args.atol
+    print(json.dumps(report))
     sys.exit(0 if ok else 1)
 
 

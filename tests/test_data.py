@@ -109,3 +109,26 @@ def test_dataset_from_pkl_file(tmp_path, tokenizer, rng):
     assert len(ds) == 3
     assert ds.topics == [r["topic"] for r in records]
     np.testing.assert_allclose(ds[1]["topic_emb"], records[1]["topic_emb"])
+
+
+def test_scores_side_column_surfaced(tokenizer, rng):
+    """Test-set ``score_0..score_4`` human annotations (reference
+    README.md:66-78, carried by the data but unused by reference code)
+    are surfaced as a ``scores`` side column — and kept OUT of the model
+    batch."""
+    from mmtg_tpu.configs import DataConfig
+    from mmtg_tpu.data import MMTGDataset, make_synthetic_records
+
+    dcfg = DataConfig(wenlan_emb_size=16)
+    recs = make_synthetic_records(3, rng, emb_size=16)
+    for r in recs:
+        r.pop("rating")
+    for k in range(5):
+        recs[0][f"score_{k}"] = k + 1.0
+    recs[1]["score_2"] = 3.0  # partial annotations allowed
+    ds = MMTGDataset.from_records(recs, tokenizer, dcfg, if_train=False)
+    np.testing.assert_array_equal(ds.scores[0], [1.0, 2.0, 3.0, 4.0, 5.0])
+    assert ds.scores[1][2] == 3.0 and np.isnan(ds.scores[1][0])
+    assert np.isnan(ds.scores[2]).all()
+    batch = next(ds.batches(batch_size=3))
+    assert "scores" not in batch and "score_0" not in batch

@@ -177,6 +177,7 @@ def test_int8_append_kernel_matches_unfused(tensors, rng):
         q, k_new, v_new, kq, vq, ks, vs, mask,
         jnp.asarray(pos), jnp.asarray(layer),
         n_head=NH, block_b=4, tile_t=64, sub_tiles=4, interpret=True,
+        score_dtype="float32",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
     # the updated caches match the XLA-sequence caches exactly
@@ -185,6 +186,22 @@ def test_int8_append_kernel_matches_unfused(tensors, rng):
     np.testing.assert_allclose(np.asarray(ks2[layer, :, pos]), np.asarray(kns), rtol=1e-6)
     # untouched slots stay put
     np.testing.assert_array_equal(np.asarray(kq2[layer, :, pos + 1]), untouched)
+    # the bfloat16 score-dot option (kept for the r03 measurement — it
+    # LOST on hardware, docs/PERF.md) stays within bf16 rounding of f32
+    # (this call donates kq2/vq2/ks2/vs2, so it runs after the asserts)
+    out_bf, kq3, vq3, ks3, vs3 = decode_attention_int8_append(
+        q, k_new, v_new, kq2, vq2, ks2, vs2, mask,
+        jnp.asarray(pos + 1), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, sub_tiles=4, interpret=True,
+        score_dtype="bfloat16",
+    )
+    out_f32ref = decode_attention_int8(
+        q, kq3, vq3, ks3, vs3, mask, jnp.asarray(pos + 1), jnp.asarray(layer),
+        n_head=NH, block_b=4, tile_t=64, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_bf), np.asarray(out_f32ref), atol=1e-2
+    )
 
 
 def test_fp_append_kernel_matches_unfused(tensors, rng):

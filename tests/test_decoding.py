@@ -247,9 +247,15 @@ def test_int8_cache_decode(gen_setup):
 
 def test_int4_cache_decode(gen_setup):
     """int4 packed KV cache through the XLA fallback path: structure
-    intact, reasonable token agreement with the full-precision decode
-    (coarser than int8 — the serving quality/speed tradeoff is the
-    user's choice via --cache_dtype)."""
+    intact, token agreement with the full-precision decode above a floor.
+
+    NB on the bar: this fixture model is RANDOM-INIT, where near-uniform
+    logits make trajectories chaotically divergent — agreement here is a
+    smoke floor, not the quality statement. The MEASURED quality statement
+    lives in docs/QUALITY_LOOP.json (tools/quality_loop.py): on a trained
+    model, int8 decode is token-identical to fp (BLEU2 1.0) and int4
+    scores BLEU2 ≈ 0.87 vs the fp decode — asserted in
+    tests/test_quality_loop.py."""
     params, const, mcfg, dcfg, jb = gen_setup
     rng = jax.random.PRNGKey(21)
     base = np.asarray(generate(

@@ -209,3 +209,42 @@ def test_sharded_generation_on_mesh(setup):
     assert (toks[:, 22] == SP.start_id).all()
     # shards sample independently (different rows differ)
     assert len({tuple(r) for r in toks.tolist()}) > 1
+
+
+def test_dp_gradients_match_single_device(setup):
+    """The DP-sharded loss gradient equals the single-device gradient at
+    f32 tolerance: sharding must change WHERE the math runs, never what
+    it computes (the reference's DataParallel gives the same guarantee
+    implicitly via gather/scatter — train.py:112-114)."""
+    from mmtg_tpu.train import loss_and_metrics
+
+    mcfg, dcfg, batch, const = setup
+    tcfg = TrainConfig(alpha=0.2)
+    params = init_mmtg_params(jax.random.PRNGKey(3), mcfg)
+    batch = dict(batch, sample_mask=jnp.ones((batch["targets"].shape[0],)))
+    drng = jax.random.PRNGKey(9)
+
+    def loss_fn(p, const, batch):
+        # eval_mode=True: dropout off, so single-device and sharded runs
+        # see identical masks regardless of how PRNG lowering shards
+        out, _ = loss_and_metrics(
+            p, const, mcfg, dcfg, tcfg, batch, jnp.asarray(2), drng, True
+        )
+        return out
+
+    ref_grads = jax.grad(loss_fn)(params, const, batch)
+
+    mesh = make_mesh((8, 1))
+    with mesh:
+        sp = shard_params(params, mesh)
+        sb = shard_batch(batch, mesh)
+        sc = {"wenlan_table": jax.device_put(const["wenlan_table"])}
+        dp_grads = jax.jit(jax.grad(loss_fn))(sp, sc, sb)
+
+    flat_ref, _ = jax.tree_util.tree_flatten(ref_grads)
+    flat_dp, _ = jax.tree_util.tree_flatten(dp_grads)
+    assert len(flat_ref) == len(flat_dp)
+    for a, b in zip(flat_ref, flat_dp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )

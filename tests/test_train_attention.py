@@ -139,3 +139,79 @@ def test_gpt2_forward_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(logits_p), np.asarray(logits_x), atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# dropout (rate > 0): determinism + fwd/bwd mask regeneration
+# ---------------------------------------------------------------------------
+
+
+def _dropout_setup(T=128, B=2, H=2, hd=64, seed_val=7):
+    rng = np.random.default_rng(3)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 5:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    slab = _to_slab(q, k, v, hd)
+    zb = jnp.zeros((H * ta.SLAB,), jnp.float32)
+    seed = jnp.full((1,), seed_val, jnp.int32)
+    return slab, zb, bias, seed, H, float(scale)
+
+
+def test_dropout_forward_deterministic_given_seed():
+    """Same seed → bit-identical output; different seed → different mask.
+    The kernel's dropout mask comes from the on-core PRNG seeded by
+    (step seed, program id) and is never stored — determinism is the
+    invariant that lets the backward kernel regenerate it."""
+    slab, zb, bias, seed, H, scale = _dropout_setup()
+    a = ta.mha_train(slab, zb, bias, seed, H, 0.5, scale)
+    b = ta.mha_train(slab, zb, bias, seed, H, 0.5, scale)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = ta.mha_train(slab, zb, bias, seed + 1, H, 0.5, scale)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0.0
+    # dropout actually drops: rate 0.5 output differs from rate 0
+    d = ta.mha_train(slab, zb, bias, seed, H, 0.0, scale)
+    assert np.abs(np.asarray(a) - np.asarray(d)).max() > 1e-3
+
+
+def test_dropout_backward_regenerates_forward_mask():
+    """fwd/bwd mask consistency without ever materializing the mask:
+
+    (1) v-path linearity: out is linear in v for a fixed mask, so
+        ⟨f(v), co⟩ must equal ⟨v, ∇_v⟨f(v), co⟩⟩ — if the backward kernel
+        regenerated a DIFFERENT mask than the forward, this dot-product
+        identity breaks.
+    (2) full-slab directional finite difference vs the custom VJP: with a
+        fixed seed the program is deterministic, so
+        (f(x+εd) − f(x−εd)) / 2ε ≈ ⟨∇f, d⟩ across q, k AND v lanes.
+    """
+    slab, zb, bias, seed, H, scale = _dropout_setup()
+    rng = np.random.default_rng(4)
+    co = jnp.asarray(rng.standard_normal(
+        np.asarray(ta.mha_train(slab, zb, bias, seed, H, 0.5, scale)).shape
+    ).astype(np.float32))
+
+    def loss(s):
+        return jnp.sum(ta.mha_train(s, zb, bias, seed, H, 0.5, scale) * co)
+
+    g = jax.grad(loss)(slab)
+
+    # (1) v-path dot-product identity (exact up to f32 rounding)
+    B, T, W = slab.shape
+    v_dir = np.zeros((B, T, W), np.float32)
+    s5 = np.asarray(slab).reshape(B, T, H, 3, ta.LANES)
+    v5 = v_dir.reshape(B, T, H, 3, ta.LANES)
+    v5[:, :, :, 2, :] = rng.standard_normal(v5[:, :, :, 2, :].shape)
+    v_dir = jnp.asarray(v_dir)
+    lhs = float(loss(slab + v_dir) - loss(slab))  # linear in v ⇒ exact Δ
+    rhs = float(jnp.sum(g * v_dir))
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-3)
+
+    # (2) directional FD over the whole slab (q, k, v lanes together)
+    d = jnp.asarray(rng.standard_normal(slab.shape).astype(np.float32))
+    eps = 1e-3
+    fd = float(loss(slab + eps * d) - loss(slab - eps * d)) / (2 * eps)
+    an = float(jnp.sum(g * d))
+    np.testing.assert_allclose(fd, an, rtol=5e-3, atol=5e-2)

