@@ -42,6 +42,8 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8", "int4"],
                     help="int8 KV cache is the serving default (1.66x)")
+    ap.add_argument("--weight-dtype", default="model", choices=["model", "int8"],
+                    help="decode-matmul weight precision (weight-only int8)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +61,8 @@ def main() -> None:
 
     dev = jax.devices()[0]
     mcfg, dcfg = ModelConfig(), DataConfig()
-    gcfg = GenerateConfig(cache_dtype=args.cache_dtype)  # canonical decode config
+    gcfg = GenerateConfig(cache_dtype=args.cache_dtype,
+                          weight_dtype=args.weight_dtype)  # canonical decode config
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -173,6 +176,7 @@ def main() -> None:
             "length": gcfg.length,
             "dtype": args.dtype,
             "cache_dtype": args.cache_dtype,
+            "weight_dtype": args.weight_dtype,
             "decode_wall_s": round(dt, 3),
             "p50_latency_s": round(dt, 3),
             "best_latency_s": round(best, 3),

@@ -207,6 +207,11 @@ class GenerateConfig:
     # (two nibbles packed per byte — quarter traffic, larger
     # perturbation; see tests/test_decoding.py int4 agreement check).
     cache_dtype: str = "model"
+    # Decode-matmul weight precision: 'model' or 'int8' (weight-only
+    # per-output-channel quantization, gpt2.quantize_decode_weights —
+    # halves the per-layer glue's weight HBM traffic; prefill and the
+    # embedding gathers keep full precision).
+    weight_dtype: str = "model"
 
 
 def english_variant(

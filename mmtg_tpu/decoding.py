@@ -171,6 +171,14 @@ def _generate_jit(
         tp_axis=tp_axis,
     )
 
+    # weight-only int8 for the 220-step decode loop (prefill above ran at
+    # full precision); quantization happens ONCE per generate call
+    gpt2_params = params["gpt2"]
+    if gcfg.weight_dtype == "int8":
+        from mmtg_tpu.models.gpt2 import quantize_decode_weights
+
+        gpt2_params = quantize_decode_weights(gpt2_params)
+
     key_mask = jnp.zeros((B, capacity), jnp.int32)
     key_mask = jax.lax.dynamic_update_slice(key_mask, attn_mask, (0, 0))
 
@@ -218,7 +226,7 @@ def _generate_jit(
         not_pad = (tok != SPECIAL.pad_id).astype(jnp.int32)
         key_mask = jax.lax.dynamic_update_slice(key_mask, not_pad[:, None], (0, P + j))
         logits, cache = gpt2_decode_step(
-            params["gpt2"], mcfg.gpt2, cache, x, P + j, tt, key_mask,
+            gpt2_params, mcfg.gpt2, cache, x, P + j, tt, key_mask,
             window=window, attn_impl=attn_impl, tp_axis=tp_axis,
         )
         return (cache, key_mask, tokens, seen, logits), None

@@ -50,6 +50,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["train", "reference_infer"])
     p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"],
                    help="KV cache precision (int8 halves decode HBM traffic)")
+    p.add_argument("--weight_dtype", default="model", choices=["model", "int8"],
+                   help="decode-matmul weight precision (weight-only int8 "
+                        "halves the glue matmuls' weight reads)")
     p.add_argument("--variant", default="chinese", choices=["chinese", "english"],
                    help="'english' = CLIP embeddings + byte-level-BPE GPT-2 "
                         "(reference README.md:19-20,86); --tokenizer_path then "
@@ -130,6 +133,7 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         length=dcfg.max_seq_length,
         type_id_scheme=args.type_id_scheme,
         cache_dtype=args.cache_dtype,
+        weight_dtype=args.weight_dtype,
     )
 
     tokenizer = load_tokenizer(args.tokenizer_path)

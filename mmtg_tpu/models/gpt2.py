@@ -489,6 +489,20 @@ def gpt2_decode_step(
     # int4 mode is identified statically by the packed trailing dim
     int4 = quantized and cache.k.shape[-1] * 2 == D_kv
     D_store = D_kv // 2 if int4 else D_kv
+    # weight-only int8 (quantize_decode_weights): the _q/_s keys are a
+    # STATIC structure property, so the branch disappears at trace time.
+    # Converts fuse into the matmul reads — the dot streams int8 weights
+    # from HBM (half the glue matmuls' weight traffic, which is the
+    # per-layer glue's memory floor at decode batch sizes).
+    int8_w = "attn_w_q" in params["h"]
+
+    def mm(x, lp, key):
+        if int8_w:
+            # f32 scale epilogue, cast back to the stream dtype (the cast
+            # fuses into the multiply; h must STAY bf16 or every
+            # downstream op doubles its bandwidth)
+            return ((x @ lp[key + "_q"].astype(x.dtype)) * lp[key + "_s"]).astype(x.dtype)
+        return x @ lp[key]
 
     def layer(l, carry):
         h, k_full, v_full, ks_full, vs_full = carry
@@ -497,7 +511,7 @@ def gpt2_decode_step(
             params["h"],
         )
         a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
-        qkv = a @ lp["attn_w"] + lp["attn_b"]  # [B, 3D]
+        qkv = mm(a, lp, "attn_w") + lp["attn_b"]  # [B, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if attn_impl == "pallas":
             # fused append+attend: quantization (when any) and the cache
@@ -525,13 +539,13 @@ def gpt2_decode_step(
                     q, k, v, k_full, v_full, key_mask, position, l,
                     n_head=n_head,
                 )
-            attn_out = ctx @ lp["attn_proj_w"]
+            attn_out = mm(ctx, lp, "attn_proj_w")
             if tp_axis is not None:
                 attn_out = jax.lax.psum(attn_out, tp_axis)
             h = h + attn_out + lp["attn_proj_b"]
             m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
-            m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
-            m = m @ lp["mlp_proj_w"]
+            m = _gelu_new(mm(m, lp, "mlp_fc_w") + lp["mlp_fc_b"])
+            m = mm(m, lp, "mlp_proj_w")
             if tp_axis is not None:
                 m = jax.lax.psum(m, tp_axis)
             h = h + m + lp["mlp_proj_b"]
@@ -579,13 +593,13 @@ def gpt2_decode_step(
         ).astype(h.dtype) * scale
         probs = jax.nn.softmax(scores + bias[:, None, :], axis=-1)
         ctx = jnp.einsum("bht,bthd->bhd", probs, v_cache).reshape(B, D_kv)
-        attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
+        attn_out = mm(ctx, lp, "attn_proj_w")  # row-parallel under TP
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         h = h + attn_out + lp["attn_proj_b"]
         m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
-        m = _gelu_new(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"])
-        m = m @ lp["mlp_proj_w"]  # row-parallel under TP
+        m = _gelu_new(mm(m, lp, "mlp_fc_w") + lp["mlp_fc_b"])
+        m = mm(m, lp, "mlp_proj_w")  # row-parallel under TP
         if tp_axis is not None:
             m = jax.lax.psum(m, tp_axis)
         h = h + m + lp["mlp_proj_b"]
@@ -598,7 +612,14 @@ def gpt2_decode_step(
         0, cfg.n_layer, layer, (h, cache.k, cache.v, ks0, vs0)
     )
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
-    logits = h @ params["wte"].T
+    if int8_w:
+        # f32 scale epilogue, back to the stream dtype (the decode scan's
+        # logits carry must keep a stable dtype)
+        logits = (
+            (h @ params["wte_q"].T.astype(h.dtype)) * params["wte_s"].T
+        ).astype(h.dtype)
+    else:
+        logits = h @ params["wte"].T  # weight-tied head
     if quantized:
         return logits, KVCache(new_k, new_v, new_ks, new_vs)
     return logits, KVCache(new_k, new_v)
@@ -689,3 +710,31 @@ def import_hf_gpt2(state_dict, cfg: GPT2Config, prefix: str = "") -> Dict:
         "lnf_g": jnp.asarray(get("transformer.ln_f.weight")),
         "lnf_b": jnp.asarray(get("transformer.ln_f.bias")),
     }
+
+
+def quantize_decode_weights(params: Dict) -> Dict:
+    """Weight-only int8 for the decode hot path (opt-in via
+    ``GenerateConfig.weight_dtype="int8"``).
+
+    Per-OUTPUT-channel symmetric abs-max quantization of the four glue
+    matmuls (stacked ``[L, in, out]`` → scales ``[L, 1, out]``) and the
+    LM head (per-vocab-row over ``wte`` → scales ``[V, 1]``). The decode
+    step's matmuls then stream int8 weights from HBM (the converts fuse
+    into the dot reads) — halving the per-layer glue's weight traffic,
+    its memory floor at decode batch sizes. The original full-precision
+    weights stay in the tree: prefill, the type-id ``wte`` gather and the
+    ``wpe`` add keep full precision (one-time / tiny-row reads).
+    """
+    out = dict(params)
+    h = dict(params["h"])
+    for key in ("attn_w", "attn_proj_w", "mlp_fc_w", "mlp_proj_w"):
+        w = h[key].astype(jnp.float32)  # [L, in, out]
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-8) / 127.0
+        h[key + "_q"] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        h[key + "_s"] = s
+    out["h"] = h
+    w = params["wte"].astype(jnp.float32)  # [V, D]
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-8) / 127.0
+    out["wte_q"] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out["wte_s"] = s
+    return out

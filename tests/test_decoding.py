@@ -303,17 +303,56 @@ def test_postprocess_edge_cases(tokenizer):
 
 
 def test_exact_top_k_grouped_matches_lax(rng):
-    from mmtg_tpu.ops.sampling import exact_top_k_grouped
+    """The grouped two-stage top-k (now a tools/ probe utility — measured
+    14% SLOWER in-program at vocab 13317, docs/PERF.md dead-ends; its
+    hypothesized regime is the English variant's vocab 50257) stays exact
+    vs lax.top_k."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from probe_topk import exact_top_k_grouped
 
-    for B, V, k in [(4, 13317, 10), (2, 5000, 3), (3, 4096, 64)]:
-        x = jnp.asarray(rng.standard_normal((B, V)), jnp.float32)
-        v_ref, i_ref = jax.lax.top_k(x, k)
+    x = jnp.asarray(rng.standard_normal((4, 13317)).astype(np.float32))
+    for k in (1, 10, 64):
         v, i = exact_top_k_grouped(x, k)
-        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
-    # adversarial: all global top-k in ONE group, plus exact ties
-    x = jnp.full((1, 13317), -5.0).at[0, 600:610].set(9.0)
-    v, i = exact_top_k_grouped(x, 10)
-    v_ref, i_ref = jax.lax.top_k(x, 10)
-    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
-    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        rv, ri = jax.lax.top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+def test_int8_weight_decode(gen_setup):
+    """Weight-only int8 decode (--weight_dtype int8): per-step LOGITS stay
+    close to full precision under teacher forcing (the deterministic
+    surface — on a random-init fixture near-uniform logits make sampled
+    TRAJECTORIES chaotically divergent for any perturbation, so token
+    agreement is not a meaningful metric here; cf. the int4 cache note
+    above and the trained-model BLEU table in docs/QUALITY_LOOP.json)."""
+    from mmtg_tpu.decoding import teacher_forced_decode_logits
+    from mmtg_tpu.models.gpt2 import quantize_decode_weights
+
+    params, const, mcfg, dcfg, jb = gen_setup
+    tokens = np.asarray(jb["targets"])[:, :24].copy()
+    tokens[:, 0] = SPECIAL.start_id
+    base = np.asarray(teacher_forced_decode_logits(
+        params, const, mcfg, dcfg, GenerateConfig(attn_impl="xla"),
+        jb, jnp.asarray(tokens),
+    ))
+    qparams = dict(params, gpt2=quantize_decode_weights(params["gpt2"]))
+    w8 = np.asarray(teacher_forced_decode_logits(
+        qparams, const, mcfg, dcfg, GenerateConfig(attn_impl="xla"),
+        jb, jnp.asarray(tokens),
+    ))
+    # int8 per-channel weight error is ~0.4% per matmul; through 2 layers
+    # + the LM head the logit deviation stays small relative to the
+    # logit scale
+    scale = np.abs(base).max()
+    rel = np.abs(w8 - base).max() / scale
+    assert rel < 0.05, rel
+    # the top-1 next-token prediction is preserved almost everywhere
+    top1_match = (base.argmax(-1) == w8.argmax(-1)).mean()
+    assert top1_match > 0.9, top1_match
+
+    # direct numeric check: quantized weights reconstruct to within half
+    # a quantization step of the per-channel scale
+    qp = qparams["gpt2"]
+    w = np.asarray(params["gpt2"]["h"]["attn_w"], np.float32)
+    deq = np.asarray(qp["h"]["attn_w_q"], np.float32) * np.asarray(qp["h"]["attn_w_s"])
+    assert np.abs(w - deq).max() <= np.asarray(qp["h"]["attn_w_s"]).max() * 0.51
