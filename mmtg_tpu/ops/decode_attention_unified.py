@@ -98,6 +98,7 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
             ksblk = next(it)
             vsblk = next(it)
     sems = next(it)
+    meta_sems = next(it)
     if APPEND:
         row_sems = next(it)
 
@@ -114,6 +115,15 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
     ROWB = _ROWB[CACHE]
 
     # ---- per-tile DMA helpers ------------------------------------------
+    # k/v stream in double-buffered G-row tiles; scales/bias are HOISTED:
+    # one full-row [bB, T] fetch per PROGRAM (the rows are ~128KB f32 —
+    # trivial VMEM) instead of one superblock DMA per sub-tile. Per-tile
+    # fixed DMA cost dominates at 32-row sub-tiles (the 16-row collapse
+    # in the r02 sweep), so cutting 3 of the 5 per-tile DMA issue+wait
+    # pairs attacks exactly that. The append path PATCHES the new scale
+    # lane into the hoisted VMEM copy, so fetch/write-back ordering with
+    # the RMW append doesn't matter for scales (k/v keep the
+    # wait-before-last-tile ordering).
     def copy_kv(ref, dst, t, slot, sem_idx):
         return pltpu.make_async_copy(
             ref.at[layer, pl.ds(b0, bB), pl.ds(t * G, G), :],
@@ -121,37 +131,38 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
             sems.at[slot, sem_idx],
         )
 
-    def copy_meta(ref, dst, t, slot, sem_idx, three_d=True):
-        # lane-dim DMA offsets must be 128-aligned: append mode fetches
-        # the TS superblock containing sub-tile t; plain mode's tile IS
-        # the superblock (G == TS)
-        lo = (t // SUB) * TS if APPEND else t * TS
+    def meta_copy(ref, dst, sem_idx, three_d=True):
         src = (
-            ref.at[layer, pl.ds(b0, bB), pl.ds(lo, TS)]
+            ref.at[layer, pl.ds(b0, bB), :]
             if three_d
-            else ref.at[pl.ds(b0, bB), pl.ds(lo, TS)]
+            else ref.at[pl.ds(b0, bB), :]
         )
-        return pltpu.make_async_copy(src, dst.at[slot], sems.at[slot, sem_idx])
+        return pltpu.make_async_copy(src, dst, meta_sems.at[sem_idx])
 
-    bias_sem = 4 if quant else 2
+    def start_meta():
+        if quant:
+            meta_copy(ks_hbm, ks_tile, 0).start()
+            meta_copy(vs_hbm, vs_tile, 1).start()
+        meta_copy(bias_hbm, bias_tile, 2, three_d=False).start()
+
+    def wait_meta():
+        if quant:
+            meta_copy(ks_hbm, ks_tile, 0).wait()
+            meta_copy(vs_hbm, vs_tile, 1).wait()
+        meta_copy(bias_hbm, bias_tile, 2, three_d=False).wait()
 
     def start_all(t, slot):
         copy_kv(k_hbm, k_tile, t, slot, 0).start()
         copy_kv(v_hbm, v_tile, t, slot, 1).start()
-        if quant:
-            copy_meta(ks_hbm, ks_tile, t, slot, 2).start()
-            copy_meta(vs_hbm, vs_tile, t, slot, 3).start()
-        copy_meta(bias_hbm, bias_tile, t, slot, bias_sem, three_d=False).start()
 
     def wait_all(t, slot):
         copy_kv(k_hbm, k_tile, t, slot, 0).wait()
         copy_kv(v_hbm, v_tile, t, slot, 1).wait()
-        if quant:
-            copy_meta(ks_hbm, ks_tile, t, slot, 2).wait()
-            copy_meta(vs_hbm, vs_tile, t, slot, 3).wait()
-        copy_meta(bias_hbm, bias_tile, t, slot, bias_sem, three_d=False).wait()
+
+    T_cap = bias_tile.shape[-1]  # full cache capacity (hoisted meta rows)
 
     # ---- fused append (quantize + aligned RMW into the aliased cache) --
+    start_meta()
     if APPEND:
         # start streaming IMMEDIATELY: the appended row lands only in the
         # LAST tile (pos_al = pos//ROWB*ROWB ≥ (pos//G)*G since G is a
@@ -261,6 +272,15 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
     else:
         start_all(0, 0)
 
+    # hoisted meta rows: one wait per program; the append path PATCHES
+    # the freshly quantized scale lane into the VMEM copy, making the
+    # hoisted fetch independent of the RMW write-back ordering
+    wait_meta()
+    if APPEND and quant:
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (bB, T_cap), 1)
+        ks_tile[...] = jnp.where(lane_t == pos, ks_new, ks_tile[...])
+        vs_tile[...] = jnp.where(lane_t == pos, vs_new, vs_tile[...])
+
     # ---- segment matrices ----------------------------------------------
     q = q_ref[:].astype(SCORE_DT if CACHE != "int4" else jnp.float32)
     if CACHE == "int4":
@@ -315,22 +335,18 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
 
         wait_all(t, slot)
 
-        if APPEND:
-            sub = jax.lax.rem(t, SUB)
+        def pick(meta):  # live G lanes of tile t from the hoisted [bB, T]
+            # row (dynamic lane slices must be 128-aligned — static-slice
+            # candidates selected by tile index instead)
+            out = meta[:, :G]
+            for i in range(1, T_cap // G):
+                out = jnp.where(t == i, meta[:, i * G:(i + 1) * G], out)
+            return out
 
-            def pick(meta):  # live G lanes of the TS superblock
-                out = meta[:, :G]
-                for i in range(1, SUB):
-                    out = jnp.where(sub == i, meta[:, i * G:(i + 1) * G], out)
-                return out
-        else:
-            def pick(meta):
-                return meta
-
-        bias_t = pick(bias_tile[slot][:])
+        bias_t = pick(bias_tile[:])
         if quant:
-            ks_t = pick(ks_tile[slot][:])
-            vs_t = pick(vs_tile[slot][:])
+            ks_t = pick(ks_tile[:])
+            vs_t = pick(vs_tile[:])
 
         if CACHE == "int4":
             m, l, acc_lo, acc_hi = carry
@@ -474,9 +490,10 @@ def build_call(
         pltpu.VMEM((2, block_b, G, Ds), k_cache.dtype),
         pltpu.VMEM((2, block_b, G, Ds), v_cache.dtype),
     ]
+    # hoisted meta rows: full [bB, T] scales/bias, fetched once per program
     if quant:
-        scratch += [pltpu.VMEM((2, block_b, tile_t), jnp.float32)] * 2
-    scratch += [pltpu.VMEM((2, block_b, tile_t), jnp.float32)]  # bias
+        scratch += [pltpu.VMEM((block_b, T), jnp.float32)] * 2
+    scratch += [pltpu.VMEM((block_b, T), jnp.float32)]  # bias
     if append:
         scratch += [
             pltpu.VMEM((block_b, ROWB, Ds), k_cache.dtype),
@@ -484,7 +501,10 @@ def build_call(
         ]
         if quant:
             scratch += [pltpu.VMEM((block_b, 128), jnp.float32)] * 2
-    scratch += [pltpu.SemaphoreType.DMA((2, 5 if quant else 3))]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, 2)),  # k/v tile double buffers
+        pltpu.SemaphoreType.DMA((3,)),  # hoisted ks/vs/bias
+    ]
     if append:
         scratch += [pltpu.SemaphoreType.DMA((4 if quant else 2,))]
 

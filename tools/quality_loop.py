@@ -150,16 +150,22 @@ def run(
     from mmtg_tpu.generate import main as generate_main
 
     outs = {}
-    for mode in ("model", "int8", "int4"):
+    modes = {
+        "model": [],
+        "int8": ["--cache_dtype", "int8"],
+        "int4": ["--cache_dtype", "int4"],
+        # the serving-default candidate: int8 cache + weight-only int8
+        "int8_w8": ["--cache_dtype", "int8", "--weight_dtype", "int8"],
+    }
+    for mode, extra in modes.items():
         out_path = os.path.join(work_dir, f"samples_{mode}.txt")
         generate_main(
             [
                 "--data_path", paths["test"], "--model_path", save,
                 "--tokenizer_path", vocab, "--token_emb_path", emb_path,
                 "--batch_size", "8", "--n_samples", "2", "--seed", "7",
-                "--cache_dtype", mode,
                 "--save_samples", "--save_samples_path", out_path,
-            ],
+            ] + extra,
             mcfg=mcfg,
             dcfg=dcfg,
         )
@@ -187,10 +193,11 @@ def run(
         "gen_vs_corpus": {
             m: metrics_for(outs[m], ref_lines) for m in outs
         },
-        # cache-mode quality: int8/int4 decode scored against the
+        # cache-mode quality: quantized decodes scored against the
         # full-precision decode of the SAME prompts and seed
         "cache_mode_vs_fp": {
-            m: metrics_for(outs[m], outs["model"]) for m in ("int8", "int4")
+            m: metrics_for(outs[m], outs["model"])
+            for m in ("int8", "int4", "int8_w8")
         },
     }
     os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
