@@ -44,6 +44,9 @@ def main() -> None:
                     help="int8 KV cache is the serving default (1.66x)")
     ap.add_argument("--weight-dtype", default="model", choices=["model", "int8"],
                     help="decode-matmul weight precision (weight-only int8)")
+    ap.add_argument("--topk-impl", default="exact", choices=["exact", "approx"],
+                    help="top-k: exact sort custom call vs the TPU's "
+                         "approx partial-reduce (recall 0.99)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +65,8 @@ def main() -> None:
     dev = jax.devices()[0]
     mcfg, dcfg = ModelConfig(), DataConfig()
     gcfg = GenerateConfig(cache_dtype=args.cache_dtype,
-                          weight_dtype=args.weight_dtype)  # canonical decode config
+                          weight_dtype=args.weight_dtype,
+                          topk_impl=args.topk_impl)  # canonical decode config
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
@@ -186,6 +190,11 @@ def main() -> None:
             "baseline": "batch-1 uncached full re-forward per token "
                         "(reference generate.py:117-124 cost shape), same chip",
             "baseline_tok_s": round(base_tps, 2) if vs_baseline else None,
+            "baseline_note": "the batch-1 baseline is dispatch-floor bound "
+                             "through the remote-TPU tunnel and swings "
+                             "session-to-session (19-286 tok/s observed) — "
+                             "vs_baseline is an order-of-magnitude indicator "
+                             "only; the absolute tok/s value is the headline",
             "device": str(dev),
         },
     }

@@ -207,6 +207,10 @@ class GenerateConfig:
     # (two nibbles packed per byte — quarter traffic, larger
     # perturbation; see tests/test_decoding.py int4 agreement check).
     cache_dtype: str = "model"
+    # top-k implementation: 'exact' (lax.top_k, reference semantics) or
+    # 'approx' (lax.approx_max_k recall 0.99 — the TPU partial-reduce
+    # path; ~1% of near-tie top-k entries may swap).
+    topk_impl: str = "exact"
     # Decode-matmul weight precision: 'model' or 'int8' (weight-only
     # per-output-channel quantization, gpt2.quantize_decode_weights —
     # halves the per-layer glue's weight HBM traffic; prefill and the

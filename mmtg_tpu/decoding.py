@@ -210,6 +210,7 @@ def _generate_jit(
             top_k=gcfg.top_k,
             top_p=gcfg.top_p,
             repetition_penalty=gcfg.repetition_penalty,
+            topk_impl=gcfg.topk_impl,
         )
         tok = jnp.where(is_forced, forced_id, sampled)  # [B]
         j = i + 1

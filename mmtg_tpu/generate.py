@@ -53,6 +53,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_dtype", default="model", choices=["model", "int8"],
                    help="decode-matmul weight precision (weight-only int8 "
                         "halves the glue matmuls' weight reads)")
+    p.add_argument("--topk_impl", default="exact", choices=["exact", "approx"],
+                   help="top-k sampling: exact (reference semantics) or the "
+                        "TPU's approx partial-reduce (recall 0.99)")
     p.add_argument("--variant", default="chinese", choices=["chinese", "english"],
                    help="'english' = CLIP embeddings + byte-level-BPE GPT-2 "
                         "(reference README.md:19-20,86); --tokenizer_path then "
@@ -134,6 +137,7 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         type_id_scheme=args.type_id_scheme,
         cache_dtype=args.cache_dtype,
         weight_dtype=args.weight_dtype,
+        topk_impl=args.topk_impl,
     )
 
     tokenizer = load_tokenizer(args.tokenizer_path)
