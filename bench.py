@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--topk-impl", default="exact", choices=["exact", "approx"],
                     help="top-k: exact sort custom call vs the TPU's "
                          "approx partial-reduce (recall 0.99)")
+    ap.add_argument("--merged-kv", default="off", choices=["on", "off"],
+                    help="k||v in one [L,B,T,2D] buffer (one DMA per kernel "
+                         "sub-tile instead of two; bit-identical outputs — "
+                         "measured ~2% slower at the headline shape, "
+                         "docs/PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +71,8 @@ def main() -> None:
     mcfg, dcfg = ModelConfig(), DataConfig()
     gcfg = GenerateConfig(cache_dtype=args.cache_dtype,
                           weight_dtype=args.weight_dtype,
-                          topk_impl=args.topk_impl)  # canonical decode config
+                          topk_impl=args.topk_impl,
+                          merged_kv=args.merged_kv == "on")  # canonical decode config
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 

@@ -207,6 +207,14 @@ class GenerateConfig:
     # (two nibbles packed per byte — quarter traffic, larger
     # perturbation; see tests/test_decoding.py int4 agreement check).
     cache_dtype: str = "model"
+    # Merged KV storage for the Pallas int8 decode loop: k||v share one
+    # [L, B, T, 2D] buffer so each kernel sub-tile costs ONE DMA instead
+    # of two (bit-identical outputs; built once per generate call).
+    # MEASURED dead end at the headline shape (A/B/A 120.1k / 122.8k /
+    # 119.8k tok/s, docs/PERF.md): the in-kernel lane split of the
+    # 2D-wide tile costs more VPU passes than the saved DMA issue.
+    # Kept opt-in for longer-context shapes where DMA count dominates.
+    merged_kv: bool = False
     # top-k implementation: 'exact' (lax.top_k, reference semantics) or
     # 'approx' (lax.approx_max_k recall 0.99 — the TPU partial-reduce
     # path; ~1% of near-tie top-k entries may swap).

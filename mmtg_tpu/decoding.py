@@ -179,6 +179,26 @@ def _generate_jit(
 
         gpt2_params = quantize_decode_weights(gpt2_params)
 
+    # merged-KV storage: pack k||v into one [L, B, T, 2D] buffer (one
+    # tile DMA per kernel sub-tile instead of two; bit-identical —
+    # tests/test_decode_attention.py). One concat per generate call,
+    # amortized over the 220-step scan. int8 pallas path only; TP shards
+    # keep split caches (the head-sharded regroup happens per half).
+    from mmtg_tpu.models.gpt2 import KVCache
+
+    if (
+        gcfg.merged_kv
+        and attn_impl == "pallas"
+        and gcfg.cache_dtype == "int8"
+        and tp_axis is None
+    ):
+        cache = KVCache(
+            jnp.concatenate([cache.k, cache.v], axis=-1),
+            jnp.zeros((0,), cache.k.dtype),  # merged sentinel
+            cache.k_scale,
+            cache.v_scale,
+        )
+
     key_mask = jnp.zeros((B, capacity), jnp.int32)
     key_mask = jax.lax.dynamic_update_slice(key_mask, attn_mask, (0, 0))
 

@@ -242,10 +242,22 @@ def _gelu_new(x):
 
 
 def _dropout(x, rate, key):
+    """Inverted dropout from uint16 random bits.
+
+    ``jax.random.bernoulli`` draws 32 random bits per element; the mask
+    only needs a 16-bit threshold compare (keep-rate granularity 1/65536
+    — for the reference's 0.1 rates the effective rate is exact to
+    1.5e-5). Halving the generated bits halves the rng-bit-generator
+    time, the single biggest non-matmul item left in the train step
+    after the attention kernel (~19 ms/step at b256, docs/PERF.md). The
+    scale uses the EXACT realized keep probability, so the estimator
+    stays unbiased."""
     if key is None or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    thr = int(round(rate * 65536.0))
+    keep_p = (65536 - thr) / 65536.0
+    bits = jax.random.bits(key, x.shape, jnp.uint16)
+    return jnp.where(bits >= jnp.uint16(thr), x / keep_p, 0.0)
 
 
 def _split_heads(x, n_head):
@@ -486,8 +498,13 @@ def gpt2_decode_step(
     # cache in place; per-step HBM traffic is one cache READ, not
     # read+rewrite.
     quantized = cache.quantized
+    # merged-KV mode: decoding.generate packs k||v into cache.k
+    # ([L, B, T, 2D]) and leaves a zero-size sentinel in cache.v — one
+    # tile DMA per sub-tile in the Pallas kernel (see
+    # decode_attention_int8_append_merged)
+    merged = cache.v.ndim == 1
     # int4 mode is identified statically by the packed trailing dim
-    int4 = quantized and cache.k.shape[-1] * 2 == D_kv
+    int4 = quantized and not merged and cache.k.shape[-1] * 2 == D_kv
     D_store = D_kv // 2 if int4 else D_kv
     # weight-only int8 (quantize_decode_weights): the _q/_s keys are a
     # STATIC structure property, so the branch disappears at trace time.
@@ -522,9 +539,15 @@ def gpt2_decode_step(
                 decode_attention_fp_append,
                 decode_attention_int4_append,
                 decode_attention_int8_append,
+                decode_attention_int8_append_merged,
             )
 
-            if int4:
+            if merged:
+                ctx, k_full, ks_full, vs_full = decode_attention_int8_append_merged(
+                    q, k, v, k_full, ks_full, vs_full, key_mask,
+                    position, l, n_head=n_head,
+                )
+            elif int4:
                 ctx, k_full, v_full, ks_full, vs_full = decode_attention_int4_append(
                     q, k, v, k_full, v_full, ks_full, vs_full, key_mask,
                     position, l, n_head=n_head,

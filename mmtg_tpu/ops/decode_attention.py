@@ -39,6 +39,7 @@ __all__ = [
     "decode_attention_int4",
     "decode_attention_fp_append",
     "decode_attention_int8_append",
+    "decode_attention_int8_append_merged",
     "decode_attention_int4_append",
 ]
 
@@ -231,4 +232,40 @@ def decode_attention_int4_append(
         k_scale=k_scale, v_scale=v_scale, k_new=k_new, v_new=v_new,
         n_head=n_head, block_b=block_b, tile_t=tile_t, sub_tiles=sub_tiles,
         interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "block_b", "tile_t", "sub_tiles", "interpret"),
+    donate_argnums=(3, 4, 5),
+)
+def decode_attention_int8_append_merged(
+    q: jnp.ndarray,  # [B, D] merged heads
+    k_new: jnp.ndarray,  # [B, D] raw k for this position (model dtype)
+    v_new: jnp.ndarray,  # [B, D]
+    kv_cache: jnp.ndarray,  # [L, B, T, 2D] int8: k||v on lanes (in place)
+    k_scale: jnp.ndarray,  # [L, B, T] f32 (updated in place)
+    v_scale: jnp.ndarray,
+    key_mask: jnp.ndarray,  # [B, T] int32
+    position: jnp.ndarray,
+    layer: jnp.ndarray,
+    n_head: int = 12,
+    block_b: int = 128,
+    tile_t: int = 128,
+    sub_tiles: int = 4,
+    interpret: bool = False,
+):
+    """Merged-KV fused quantize-append + int8 decode attention: k and v
+    share one ``[L, B, T, 2D]`` buffer (k in the low lane half), so every
+    32-row sub-tile costs ONE DMA issue+wait instead of two — the same
+    per-tile-fixed-cost lever as the r03 scales/bias hoist. Returns
+    ``(ctx [B, D], kv_cache, k_scale, v_scale)``; ``decoding.generate``
+    builds the merged buffer once per call after prefill
+    (one concat, amortized over the 220-step scan)."""
+    return build_call(
+        "int8", True, q, kv_cache, None, key_mask, position, layer,
+        k_scale=k_scale, v_scale=v_scale, k_new=k_new, v_new=v_new,
+        n_head=n_head, block_b=block_b, tile_t=tile_t, sub_tiles=sub_tiles,
+        interpret=interpret, merged=True,
     )

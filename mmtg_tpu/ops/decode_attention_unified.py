@@ -58,8 +58,13 @@ NEG_INF = -1e30
 _ROWB = {"fp": 32, "int8": 8, "int4": 8}
 
 
-def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
+def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT,
+                    MERGED=False):
     quant = CACHE in ("int8", "int4")
+    # MERGED: k and v live in ONE [L, B, T, 2*Ds] buffer (k in the low
+    # lane half) so each sub-tile costs ONE DMA issue+wait instead of
+    # two — the same per-tile-fixed-cost attack as the meta hoist.
+    # int8+append only (the serving headline path).
     # ---- positional ref unpacking (mirrors the build below) -------------
     it = iter(refs)
     scalar_ref = next(it)
@@ -68,32 +73,43 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
         knew_ref = next(it)
         vnew_ref = next(it)
     bias_hbm = next(it)
+    n_cache = (1 if MERGED else 2) + (2 if quant else 0)
     if APPEND:
         # aliased cache inputs (same memory as the outputs) — unused
-        for _ in range(4 if quant else 2):
+        for _ in range(n_cache):
             next(it)
         ctx_ref = next(it)
-        k_hbm = next(it)
-        v_hbm = next(it)
+        if MERGED:
+            kv_hbm = next(it)
+        else:
+            k_hbm = next(it)
+            v_hbm = next(it)
         if quant:
             ks_hbm = next(it)
             vs_hbm = next(it)
     else:
+        assert not MERGED
         k_hbm = next(it)
         v_hbm = next(it)
         if quant:
             ks_hbm = next(it)
             vs_hbm = next(it)
         ctx_ref = next(it)
-    k_tile = next(it)
-    v_tile = next(it)
+    if MERGED:
+        kv_tile = next(it)
+    else:
+        k_tile = next(it)
+        v_tile = next(it)
     if quant:
         ks_tile = next(it)
         vs_tile = next(it)
     bias_tile = next(it)
     if APPEND:
-        kblk = next(it)
-        vblk = next(it)
+        if MERGED:
+            kvblk = next(it)
+        else:
+            kblk = next(it)
+            vblk = next(it)
         if quant:
             ksblk = next(it)
             vsblk = next(it)
@@ -113,6 +129,7 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
     D2 = D // 2
     hd = D // n_head
     ROWB = _ROWB[CACHE]
+    Dm = 2 * D if MERGED else D  # merged stores k||v on lanes
 
     # ---- per-tile DMA helpers ------------------------------------------
     # k/v stream in double-buffered G-row tiles; scales/bias are HOISTED:
@@ -152,12 +169,18 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
         meta_copy(bias_hbm, bias_tile, 2, three_d=False).wait()
 
     def start_all(t, slot):
-        copy_kv(k_hbm, k_tile, t, slot, 0).start()
-        copy_kv(v_hbm, v_tile, t, slot, 1).start()
+        if MERGED:
+            copy_kv(kv_hbm, kv_tile, t, slot, 0).start()
+        else:
+            copy_kv(k_hbm, k_tile, t, slot, 0).start()
+            copy_kv(v_hbm, v_tile, t, slot, 1).start()
 
     def wait_all(t, slot):
-        copy_kv(k_hbm, k_tile, t, slot, 0).wait()
-        copy_kv(v_hbm, v_tile, t, slot, 1).wait()
+        if MERGED:
+            copy_kv(kv_hbm, kv_tile, t, slot, 0).wait()
+        else:
+            copy_kv(k_hbm, k_tile, t, slot, 0).wait()
+            copy_kv(v_hbm, v_tile, t, slot, 1).wait()
 
     T_cap = bias_tile.shape[-1]  # full cache capacity (hoisted meta rows)
 
@@ -176,15 +199,22 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
         s_al = scalar_ref[3] * 128  # scale lane-block offset (quant only)
         Ds = D2 if CACHE == "int4" else D
 
-        k_rd = pltpu.make_async_copy(
-            k_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
-            kblk, row_sems.at[0],
-        )
-        v_rd = pltpu.make_async_copy(
-            v_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
-            vblk, row_sems.at[1],
-        )
-        k_rd.start(); v_rd.start()
+        if MERGED:
+            kv_rd = pltpu.make_async_copy(
+                kv_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
+                kvblk, row_sems.at[0],
+            )
+            kv_rd.start()
+        else:
+            k_rd = pltpu.make_async_copy(
+                k_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
+                kblk, row_sems.at[0],
+            )
+            v_rd = pltpu.make_async_copy(
+                v_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
+                vblk, row_sems.at[1],
+            )
+            k_rd.start(); v_rd.start()
         if quant:
             ks_rd = pltpu.make_async_copy(
                 ks_hbm.at[layer, pl.ds(b0, bB), pl.ds(s_al, 128)],
@@ -229,25 +259,40 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
             kq_new = knew_ref[:]
             vq_new = vnew_ref[:]
 
-        k_rd.wait(); v_rd.wait()
-        sub_i = jax.lax.broadcasted_iota(jnp.int32, (bB, ROWB, Ds), 1)
-        kblk[...] = jnp.where(sub_i == pos - pos_al, kq_new[:, None, :], kblk[...])
-        vblk[...] = jnp.where(sub_i == pos - pos_al, vq_new[:, None, :], vblk[...])
+        if MERGED:
+            kv_rd.wait()
+            kv_new = jnp.concatenate([kq_new, vq_new], axis=-1)  # [bB, 2Ds]
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (bB, ROWB, 2 * Ds), 1)
+            kvblk[...] = jnp.where(
+                sub_i == pos - pos_al, kv_new[:, None, :], kvblk[...]
+            )
+        else:
+            k_rd.wait(); v_rd.wait()
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (bB, ROWB, Ds), 1)
+            kblk[...] = jnp.where(sub_i == pos - pos_al, kq_new[:, None, :], kblk[...])
+            vblk[...] = jnp.where(sub_i == pos - pos_al, vq_new[:, None, :], vblk[...])
         if quant:
             ks_rd.wait(); vs_rd.wait()
             lanei = jax.lax.broadcasted_iota(jnp.int32, (bB, 128), 1)
             ksblk[...] = jnp.where(lanei == pos - s_al, ks_new, ksblk[...])
             vsblk[...] = jnp.where(lanei == pos - s_al, vs_new, vsblk[...])
 
-        k_wr = pltpu.make_async_copy(
-            kblk, k_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
-            row_sems.at[0],
-        )
-        v_wr = pltpu.make_async_copy(
-            vblk, v_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
-            row_sems.at[1],
-        )
-        k_wr.start(); v_wr.start()
+        if MERGED:
+            kv_wr = pltpu.make_async_copy(
+                kvblk, kv_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
+                row_sems.at[0],
+            )
+            kv_wr.start()
+        else:
+            k_wr = pltpu.make_async_copy(
+                kblk, k_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
+                row_sems.at[0],
+            )
+            v_wr = pltpu.make_async_copy(
+                vblk, v_hbm.at[layer, pl.ds(b0, bB), pl.ds(pos_al, ROWB), :],
+                row_sems.at[1],
+            )
+            k_wr.start(); v_wr.start()
         if quant:
             ks_wr = pltpu.make_async_copy(
                 ksblk, ks_hbm.at[layer, pl.ds(b0, bB), pl.ds(s_al, 128)],
@@ -260,7 +305,10 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
             ks_wr.start(); vs_wr.start()
 
         def wait_rmw_writes():
-            k_wr.wait(); v_wr.wait()
+            if MERGED:
+                kv_wr.wait()
+            else:
+                k_wr.wait(); v_wr.wait()
             if quant:
                 ks_wr.wait(); vs_wr.wait()
 
@@ -377,8 +425,13 @@ def _unified_kernel(*refs, bB, TS, n_head, SUB, CACHE, APPEND, SCORE_DT):
             )
 
         m, l, acc = carry
-        k = k_tile[slot].astype(SCORE_DT)
-        v = v_tile[slot].astype(jnp.float32)
+        if MERGED:
+            kv = kv_tile[slot]
+            k = kv[:, :, :D].astype(SCORE_DT)
+            v = kv[:, :, D:].astype(jnp.float32)
+        else:
+            k = k_tile[slot].astype(SCORE_DT)
+            v = v_tile[slot].astype(jnp.float32)
         prod = q[:, None, :] * k
         s = seg_dot(prod, seg_s)
         if quant:
@@ -435,12 +488,23 @@ def build_call(
     sub_tiles: int = 4,
     interpret: bool = False,
     score_dtype: str = "float32",
+    merged: bool = False,
 ):
     """Assemble and invoke the unified kernel for one (cache, append)
-    variant. Thin public wrappers below keep the r02 signatures."""
+    variant. Thin public wrappers below keep the r02 signatures.
+
+    ``merged``: ``k_cache`` holds k||v on lanes (``[L, B, T, 2*Ds]``,
+    ``v_cache`` ignored/None) — one tile DMA per sub-tile instead of two.
+    int8 append only."""
     quant = cache in ("int8", "int4")
-    L, B, T, Ds = k_cache.shape
-    D = Ds * 2 if cache == "int4" else Ds
+    if merged:
+        assert cache == "int8" and append, "merged kv: int8 append only"
+        L, B, T, Dm = k_cache.shape
+        Ds = Dm // 2
+        D = Ds
+    else:
+        L, B, T, Ds = k_cache.shape
+        D = Ds * 2 if cache == "int4" else Ds
     hd = D // n_head
     if B % block_b != 0:
         block_b = math.gcd(B, block_b)
@@ -464,41 +528,49 @@ def build_call(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     G = tile_t // sub_tiles if append else tile_t
 
+    n_cache = (1 if merged else 2) + (2 if quant else 0)
     in_specs = [row_spec]
     if append:
         in_specs += [row_spec, row_spec]  # k_new, v_new
     in_specs += [any_spec]  # bias
-    in_specs += [any_spec] * (2 + (2 if quant else 0))  # caches (+scales)
+    in_specs += [any_spec] * n_cache  # caches (+scales)
 
     if append:
-        out_specs = [row_spec] + [any_spec] * (4 if quant else 2)
+        out_specs = [row_spec] + [any_spec] * n_cache
         out_shape = [jax.ShapeDtypeStruct((B, D), q.dtype),
-                     jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-                     jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)]
+                     jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)]
+        if not merged:
+            out_shape += [jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)]
         if quant:
             out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
                           jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
         # operand indices include the scalar-prefetch arg: scalars=0, q=1,
         # k_new=2, v_new=3, bias=4, caches=5.. → outputs ctx=0, caches=1..
-        input_output_aliases = {5 + i: 1 + i for i in range(4 if quant else 2)}
+        input_output_aliases = {5 + i: 1 + i for i in range(n_cache)}
     else:
         out_specs = row_spec
         out_shape = jax.ShapeDtypeStruct((B, D), q.dtype)
         input_output_aliases = {}
 
-    scratch = [
-        pltpu.VMEM((2, block_b, G, Ds), k_cache.dtype),
-        pltpu.VMEM((2, block_b, G, Ds), v_cache.dtype),
-    ]
+    if merged:
+        scratch = [pltpu.VMEM((2, block_b, G, 2 * Ds), k_cache.dtype)]
+    else:
+        scratch = [
+            pltpu.VMEM((2, block_b, G, Ds), k_cache.dtype),
+            pltpu.VMEM((2, block_b, G, Ds), v_cache.dtype),
+        ]
     # hoisted meta rows: full [bB, T] scales/bias, fetched once per program
     if quant:
         scratch += [pltpu.VMEM((block_b, T), jnp.float32)] * 2
     scratch += [pltpu.VMEM((block_b, T), jnp.float32)]  # bias
     if append:
-        scratch += [
-            pltpu.VMEM((block_b, ROWB, Ds), k_cache.dtype),
-            pltpu.VMEM((block_b, ROWB, Ds), v_cache.dtype),
-        ]
+        if merged:
+            scratch += [pltpu.VMEM((block_b, ROWB, 2 * Ds), k_cache.dtype)]
+        else:
+            scratch += [
+                pltpu.VMEM((block_b, ROWB, Ds), k_cache.dtype),
+                pltpu.VMEM((block_b, ROWB, Ds), v_cache.dtype),
+            ]
         if quant:
             scratch += [pltpu.VMEM((block_b, 128), jnp.float32)] * 2
     scratch += [
@@ -521,6 +593,7 @@ def build_call(
         SUB=sub_tiles if append else 1,
         CACHE=cache, APPEND=append,
         SCORE_DT=jnp.dtype(score_dtype).type,
+        MERGED=merged,
     )
     pad_bias = (1.0 - key_mask.astype(jnp.float32)) * NEG_INF
     pos = position.astype(jnp.int32)
@@ -539,7 +612,9 @@ def build_call(
         else:
             # quantized modes keep the model-dtype row (in-kernel quantize)
             operands += [k_new, v_new]
-    operands += [pad_bias, k_cache, v_cache]
+    operands += [pad_bias, k_cache]
+    if not merged:
+        operands += [v_cache]
     if quant:
         operands += [k_scale, v_scale]
 

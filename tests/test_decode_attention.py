@@ -276,3 +276,43 @@ def test_int4_append_kernel_matches_unfused(tensors, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(kq2[layer, :, pos]), np.asarray(knq))
     np.testing.assert_allclose(np.asarray(ks2[layer, :, pos]), np.asarray(kns), rtol=1e-6)
+
+
+def test_int8_merged_kv_matches_split(rng):
+    """Merged-KV kernel (k||v in one [L,B,T,2D] buffer, one DMA per
+    sub-tile) is BIT-identical to the split int8 append kernel: same ctx,
+    same appended rows/scales, in every tile-count regime."""
+    from mmtg_tpu.ops.decode_attention import (
+        decode_attention_int8_append,
+        decode_attention_int8_append_merged,
+    )
+
+    L, B, T, D, NH = 2, 8, 256, 256, 4
+    layer = 1
+    for pos in (3, 16, 31, 100, 254):
+        q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        kc = rng.integers(-127, 127, (L, B, T, D)).astype(np.int8)
+        vc = rng.integers(-127, 127, (L, B, T, D)).astype(np.int8)
+        ks = (rng.random((L, B, T)) * 0.02 + 1e-3).astype(np.float32)
+        vs = (rng.random((L, B, T)) * 0.02 + 1e-3).astype(np.float32)
+        km = jnp.ones((B, T), jnp.int32)
+        ref = decode_attention_int8_append(
+            q, kn, vn, jnp.asarray(kc), jnp.asarray(vc),
+            jnp.asarray(ks), jnp.asarray(vs), km,
+            jnp.int32(pos), jnp.int32(layer),
+            n_head=NH, block_b=4, tile_t=64, sub_tiles=4, interpret=True,
+        )
+        out = decode_attention_int8_append_merged(
+            q, kn, vn, jnp.asarray(np.concatenate([kc, vc], axis=-1)),
+            jnp.asarray(ks), jnp.asarray(vs), km,
+            jnp.int32(pos), jnp.int32(layer),
+            n_head=NH, block_b=4, tile_t=64, sub_tiles=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+        kv2 = np.asarray(out[1])
+        np.testing.assert_array_equal(kv2[..., :D], np.asarray(ref[1]))
+        np.testing.assert_array_equal(kv2[..., D:], np.asarray(ref[2]))
+        np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[3]))
+        np.testing.assert_array_equal(np.asarray(out[3]), np.asarray(ref[4]))

@@ -98,3 +98,51 @@ def test_orbax_handoff(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["gpt2"]["wte"]), np.asarray(params["wte"])
     )
+
+
+def test_pack_corpus_with_bpe_vocab(tmp_path):
+    """Phase-1 pretraining accepts a byte-level BPE vocab dir (English
+    variant): the polymorphic loader routes it and packing/framing work
+    unchanged (reference README.md:19-20,86 + :83 two-phase regime)."""
+    from mmtg_tpu.bpe import load_tokenizer, train_bpe
+
+    corpus_lines = [
+        "city lights are calling out my name",
+        "we dance until the morning sun",
+        "hold me closer while the music plays",
+    ] * 6
+    tok = train_bpe(corpus_lines, vocab_size=400)
+    vocab_dir = tmp_path / "bpe"
+    tok.save(str(vocab_dir))
+    loaded = load_tokenizer(str(vocab_dir))
+    rows = pack_corpus(corpus_lines, loaded, 32)
+    assert len(rows) >= 1
+    arr = jnp.asarray(rows)
+    start_id, eos_id = 1, 2
+    # every line contributes [#START#] content [#EOS#]; rows are dense
+    flat = [int(t) for r in rows for t in r]
+    assert flat.count(start_id) == len(corpus_lines)
+    assert flat.count(eos_id) == len(corpus_lines)
+    assert max(flat) < len(loaded)
+
+    # tiny LM learns on the BPE ids (same path the CLI drives)
+    cfg = GPT2Config(vocab_size=len(loaded), n_positions=64, n_embd=32,
+                     n_layer=2, n_head=4)
+    params = init_gpt2_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rows[:4])
+    l0 = float(lm_loss(params, cfg, ids))
+
+    import optax
+
+    tx = optax.adamw(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, b):
+        loss, g = jax.value_and_grad(lm_loss)(p, cfg, b)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    for _ in range(10):
+        params, opt, loss = step(params, opt, ids)
+    assert float(loss) < l0
