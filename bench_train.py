@@ -28,8 +28,23 @@ def main() -> None:
                          "a mean fiction)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--loss-impl", default="auto",
+                    choices=["auto", "chunked", "full"],
+                    help="auto (default) picks full [B,T,V] logits when "
+                         "they fit (~1% faster, b256@13k vocab) and the "
+                         "chunked LM-head loss when they don't (b512, "
+                         "English vocab)")
     ap.add_argument("--round", type=int, default=0,
                     help="also write BENCH_TRAIN_r{N}.json")
+    ap.add_argument("--steps-per-block", type=int, default=5,
+                    help="steps chained per timing block (sync once per "
+                         "block). Steps depend on each other through the "
+                         "donated train state, so a block measures true "
+                         "sustained device throughput; syncing EVERY step "
+                         "additionally measures the host/tunnel dispatch "
+                         "gap (~30 ms here) that a real train loop — which "
+                         "only syncs at log intervals, reference "
+                         "train.py:196-201 — pipelines away")
     args = ap.parse_args()
 
     import jax
@@ -41,10 +56,14 @@ def main() -> None:
 
     from mmtg_tpu.configs import DataConfig, ModelConfig, TrainConfig
     from mmtg_tpu.models.mmtg import init_mmtg_params
-    from mmtg_tpu.train import create_train_state, make_train_step
+    from mmtg_tpu.train import (
+        _resolve_loss_impl,
+        create_train_state,
+        make_train_step,
+    )
 
     mcfg, dcfg = ModelConfig(), DataConfig()
-    tcfg = TrainConfig(alpha=0.2, dtype=args.dtype)
+    tcfg = TrainConfig(alpha=0.2, dtype=args.dtype, loss_impl=args.loss_impl)
     rng = np.random.default_rng(0)
     B = args.batch
     P, T, E = dcfg.topic_prompt_length, dcfg.target_length, dcfg.wenlan_emb_size
@@ -82,15 +101,34 @@ def main() -> None:
     # compile + warmup
     state, m = step_fn(state, const, batch, stage)
     sync(m["total"])
-    times = []
+
+    # headline: sustained throughput — K chained steps per sync (each step
+    # consumes the previous step's donated state, so the final sync proves
+    # every step ran; no per-step host round-trip, like a real train loop
+    # between log intervals)
+    K = args.steps_per_block
+    block_times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, m = step_fn(state, const, batch, stage)
+        sync(m["total"])
+        block_times.append((time.perf_counter() - t0) / K)
+    block_times.sort()
+    dt = block_times[len(block_times) // 2]
+    spread = (block_times[-2] - block_times[0]) / dt * 100 \
+        if len(block_times) > 2 else 0.0
+
+    # secondary: per-step wall with a sync after EVERY step (adds the
+    # host/tunnel dispatch gap to each step)
+    sync_times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
         state, m = step_fn(state, const, batch, stage)
         sync(m["total"])
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
-    spread = (times[-2] - times[0]) / dt * 100 if len(times) > 2 else 0.0
+        sync_times.append(time.perf_counter() - t0)
+    sync_times.sort()
+    dt_sync = sync_times[len(sync_times) // 2]
 
     out = {
         "metric": f"train samples/sec (full MMTG step, batch {B}, "
@@ -102,12 +140,16 @@ def main() -> None:
             "batch": B,
             "dtype": args.dtype,
             "step_ms_p50": round(dt * 1e3, 1),
-            "best_step_ms": round(times[0] * 1e3, 1),
-            "best_samples_s": round(B / times[0], 1),
+            "steps_per_block": K,
+            "step_ms_sync_every_step": round(dt_sync * 1e3, 1),
+            "best_step_ms": round(block_times[0] * 1e3, 1),
+            "best_samples_s": round(B / block_times[0], 1),
             "runs": args.runs,
             "spread_pct": round(spread, 1),
             "remat": "full-block",
-            "loss_impl": tcfg.loss_impl,
+            "loss_impl": _resolve_loss_impl(
+                tcfg.loss_impl, batch, mcfg.gpt2.vocab_size
+            ),
             "baseline": "reference publishes no train throughput "
                         "(BASELINE.md); absolute samples/s is the headline",
             "device": str(jax.devices()[0].device_kind),

@@ -177,8 +177,12 @@ class TrainConfig:
     # "chunked": CE from hidden states, [B,chunk,V] logits at a time under
     # jax.checkpoint (loss.py:sequence_unlikelihood_loss_from_hidden) —
     # exact same value, ~4.5 GB less peak HBM at b256. "full": reference-
-    # shaped [B,T,V] logits path.
-    loss_impl: str = "chunked"
+    # shaped [B,T,V] logits path, measured ~1% faster when it fits (the
+    # chunked re-run of the LM-head matmul is ~5 ms of MXU at b256).
+    # "auto" picks by the materialized-logits estimate (train.py:
+    # _resolve_loss_impl): full when ≈6·B·T·V bytes fit comfortably,
+    # chunked at b512 / English-vocab shapes where full OOMs a 16 GB chip.
+    loss_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
