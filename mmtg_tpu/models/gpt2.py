@@ -285,6 +285,7 @@ def gpt2_forward(
     attn_impl: str = "xla",
     remat_policy: str = "full",
     lm_head: bool = True,
+    pp: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Full-sequence (teacher-forced / prefill) forward.
 
@@ -310,6 +311,10 @@ def gpt2_forward(
         attention dropout via the on-core PRNG), or "auto" (pallas on
         TPU backends when eligible). ``return_kv`` prefills and
         head_dim > 128 always take the xla path.
+      pp: ``(mesh, n_micro)`` — run the layer stack GPipe-pipelined over
+        the mesh's ``pipe`` axis (``parallel.pipeline``): stacked layer
+        params sharded over stages, microbatched activations streamed
+        via ``ppermute``. Train path only (``return_kv`` unsupported).
     Returns:
       (logits ``[B, T, V]``, optionally per-layer (k, v) each
       ``[L, B, H_local, T, hd]`` for cache prefill).
@@ -367,69 +372,97 @@ def gpt2_forward(
             pad = (1.0 - attention_mask.astype(h.dtype)) * NEG_INF
             bias = bias + pad[:, None, None, :]
 
-    def block(carry, xs):
-        h, layer_idx = carry
-        lp = xs
-        if rng is not None:
-            layer_rng = jax.random.fold_in(rng, layer_idx)
-            k_attn, k_resid1, k_resid2 = jax.random.split(layer_rng, 3)
-        a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
-        if attn_impl == "pallas":
-            wq, bq = pad_qkv_weights(
-                lp["attn_w"], lp["attn_b"], n_head, cfg.head_dim
-            )
-            # [B, Tp, H*384] head-major fused slabs; the projection bias
-            # is added inside the kernel so its gradient never needs a
-            # standalone [B·T, H·384] reduce.
-            qkv = checkpoint_name(a @ wq, "qkv")
-            rate = cfg.attn_pdrop if rng is not None else 0.0
-            seed = (
-                jax.random.randint(k_attn, (1,), 0, 2**31 - 1, jnp.int32)
-                if rng is not None
-                else jnp.zeros((1,), jnp.int32)
-            )
-            ctx = mha_train(
-                qkv, bq, key_bias, seed, n_head, rate,
-                1.0 / math.sqrt(cfg.head_dim),
-            )
-            ctx = checkpoint_name(ctx, "attn_ctx")
-            attn_out = ctx @ pad_proj_weights(
-                lp["attn_proj_w"], n_head, cfg.head_dim
-            )
-            k = v = None
-        else:
-            qkv = checkpoint_name(a @ lp["attn_w"] + lp["attn_b"], "qkv")
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            q, k, v = (_split_heads(t, n_head) for t in (q, k, v))
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-            ).astype(h.dtype) * scale
-            probs = jax.nn.softmax(scores + bias, axis=-1)
-            if rng is not None:
-                probs = _dropout(probs, cfg.attn_pdrop, k_attn)
-            ctx = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
-            ctx = checkpoint_name(ctx, "attn_ctx")
-            attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        attn_out = attn_out + lp["attn_proj_b"]
-        if rng is not None:
-            attn_out = _dropout(attn_out, cfg.resid_pdrop, k_resid1)
-        h = h + attn_out
-        m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
-        m = checkpoint_name(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"], "mlp_fc1")
-        m = _gelu_new(m)
-        m = m @ lp["mlp_proj_w"]  # row-parallel under TP
-        if tp_axis is not None:
-            m = jax.lax.psum(m, tp_axis)
-        m = m + lp["mlp_proj_b"]
-        if rng is not None:
-            m = _dropout(m, cfg.resid_pdrop, k_resid2)
-        h = h + m
-        return (h, layer_idx + 1), (k, v) if return_kv else None
+    def make_block(aux, micro_idx=None):
+        """Build the layer-scan body from its batch-dependent inputs.
 
-    block_fn = _remat_block(block, remat, remat_policy)
-    (h, _), kv = jax.lax.scan(block_fn, (h, 0), params["h"])
+        ``aux = (bias, key_bias, rng)`` arrives as explicit arguments so
+        the pipeline path (``parallel.pipeline``) can pass per-device
+        shards through shard_map instead of closure captures.
+        ``micro_idx`` (pipeline only) folds the microbatch index into the
+        dropout rng so microbatches draw independent masks."""
+        bias, key_bias, rng = aux
+        if rng is not None and micro_idx is not None:
+            rng = jax.random.fold_in(rng, micro_idx)
+
+        def block(carry, xs):
+            h, layer_idx = carry
+            lp = xs
+            if rng is not None:
+                layer_rng = jax.random.fold_in(rng, layer_idx)
+                k_attn, k_resid1, k_resid2 = jax.random.split(layer_rng, 3)
+            a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
+            if attn_impl == "pallas":
+                wq, bq = pad_qkv_weights(
+                    lp["attn_w"], lp["attn_b"], n_head, cfg.head_dim
+                )
+                # [B, Tp, H*384] head-major fused slabs; the projection bias
+                # is added inside the kernel so its gradient never needs a
+                # standalone [B·T, H·384] reduce.
+                qkv = checkpoint_name(a @ wq, "qkv")
+                rate = cfg.attn_pdrop if rng is not None else 0.0
+                seed = (
+                    jax.random.randint(k_attn, (1,), 0, 2**31 - 1, jnp.int32)
+                    if rng is not None
+                    else jnp.zeros((1,), jnp.int32)
+                )
+                ctx = mha_train(
+                    qkv, bq, key_bias, seed, n_head, rate,
+                    1.0 / math.sqrt(cfg.head_dim),
+                )
+                ctx = checkpoint_name(ctx, "attn_ctx")
+                attn_out = ctx @ pad_proj_weights(
+                    lp["attn_proj_w"], n_head, cfg.head_dim
+                )
+                k = v = None
+            else:
+                qkv = checkpoint_name(a @ lp["attn_w"] + lp["attn_b"], "qkv")
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                q, k, v = (_split_heads(t, n_head) for t in (q, k, v))
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                ).astype(h.dtype) * scale
+                probs = jax.nn.softmax(scores + bias, axis=-1)
+                if rng is not None:
+                    probs = _dropout(probs, cfg.attn_pdrop, k_attn)
+                ctx = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v))
+                ctx = checkpoint_name(ctx, "attn_ctx")
+                attn_out = ctx @ lp["attn_proj_w"]  # row-parallel under TP
+            if tp_axis is not None:
+                attn_out = jax.lax.psum(attn_out, tp_axis)
+            attn_out = attn_out + lp["attn_proj_b"]
+            if rng is not None:
+                attn_out = _dropout(attn_out, cfg.resid_pdrop, k_resid1)
+            h = h + attn_out
+            m = _layer_norm(h, lp["ln2_g"], lp["ln2_b"], cfg.layer_norm_epsilon)
+            m = checkpoint_name(m @ lp["mlp_fc_w"] + lp["mlp_fc_b"], "mlp_fc1")
+            m = _gelu_new(m)
+            m = m @ lp["mlp_proj_w"]  # row-parallel under TP
+            if tp_axis is not None:
+                m = jax.lax.psum(m, tp_axis)
+            m = m + lp["mlp_proj_b"]
+            if rng is not None:
+                m = _dropout(m, cfg.resid_pdrop, k_resid2)
+            h = h + m
+            return (h, layer_idx + 1), (k, v) if return_kv else None
+
+        return block
+
+    aux = (bias, key_bias, rng)
+    if pp is not None:
+        if return_kv:
+            raise ValueError("pipeline parallelism is train-path only "
+                             "(return_kv unsupported)")
+        from mmtg_tpu.parallel.pipeline import pipeline_stack
+
+        pp_mesh, n_micro = pp
+        h = pipeline_stack(
+            lambda a, m: _remat_block(make_block(a, m), remat, remat_policy),
+            params["h"], h, aux, pp_mesh, n_micro,
+        )
+        kv = None
+    else:
+        block_fn = _remat_block(make_block(aux), remat, remat_policy)
+        (h, _), kv = jax.lax.scan(block_fn, (h, 0), params["h"])
     if T != T_real:
         h = h[:, :T_real]
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)

@@ -216,6 +216,7 @@ def mmtg_forward_train(
     attn_impl: str = "xla",
     remat_policy: str = "full",
     lm_head: bool = True,
+    pp=None,
 ) -> MMTGOutput:
     """Teacher-forced forward (reference ``MMTG.forward`` with
     ``train_flag=True`` — ``model.py:356-400`` + decoder train branch
@@ -261,6 +262,7 @@ def mmtg_forward_train(
         attn_impl=attn_impl,
         remat_policy=remat_policy,
         lm_head=lm_head,
+        pp=pp,
     )
     if not lm_head:
         # hidden states for the chunked LM loss (loss.py): the full

@@ -127,6 +127,7 @@ def loss_and_metrics(
     stage: jnp.ndarray,
     dropout_rng: Optional[jax.Array],
     deterministic: bool,
+    pp=None,
 ):
     """total = unlikelihood(curriculum-masked) + alpha·KL
     (reference ``train.py:191-192``)."""
@@ -159,6 +160,7 @@ def loss_and_metrics(
         attn_impl=tcfg.attn_impl,
         remat_policy=_resolve_remat_policy(tcfg.remat_policy),
         lm_head=not chunked,
+        pp=pp,
     )
     ratings = batch["rating"]
     weights = curriculum_sample_weights(ratings, stage)
@@ -183,12 +185,17 @@ def loss_and_metrics(
     return total, {"loss": loss, "kl": kl, "total": total, "kept": jnp.sum(weights)}
 
 
-def make_train_step(mcfg, dcfg, tcfg, tx):
+def make_train_step(mcfg, dcfg, tcfg, tx, pp=None):
     """One jitted, donated train step (grad → clip → AdamW → apply).
 
     ``const`` (the ~109MB WenLan gather table) is a runtime argument, NOT
     a closure capture — capturing it would bake it into the HLO as a
-    constant and blow up compile payloads."""
+    constant and blow up compile payloads.
+
+    ``pp=(mesh, n_micro)`` runs the GPT-2 stack GPipe-pipelined over the
+    mesh's ``pipe`` axis (``parallel.pipeline``); grads/optimizer are
+    unchanged — the reverse pipeline falls out of differentiating the
+    shard_map."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, const: Dict, batch: Dict, stage: jnp.ndarray):
@@ -196,7 +203,8 @@ def make_train_step(mcfg, dcfg, tcfg, tx):
 
         def loss_fn(p):
             return loss_and_metrics(
-                p, const, mcfg, dcfg, tcfg, batch, stage, dropout_rng, False
+                p, const, mcfg, dcfg, tcfg, batch, stage, dropout_rng, False,
+                pp=pp,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -218,11 +226,11 @@ def make_train_step(mcfg, dcfg, tcfg, tx):
     return train_step
 
 
-def make_eval_step(mcfg, dcfg, tcfg):
+def make_eval_step(mcfg, dcfg, tcfg, pp=None):
     @jax.jit
     def eval_step(params: Dict, const: Dict, batch: Dict, stage: jnp.ndarray):
         _, metrics = loss_and_metrics(
-            params, const, mcfg, dcfg, tcfg, batch, stage, None, True
+            params, const, mcfg, dcfg, tcfg, batch, stage, None, True, pp=pp
         )
         return metrics
 
@@ -280,6 +288,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", default=0, type=int,
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh_model", default=1, type=int)
+    p.add_argument("--mesh_pipe", default=1, type=int,
+                   help="pipeline-parallel stages (GPipe over the GPT-2 "
+                        "layer stack; mutually exclusive with --mesh_model)")
+    p.add_argument("--pp_microbatches", default=0, type=int,
+                   help="microbatches per pipelined step (0 = 2x stages)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="dump a jax.profiler (Perfetto) trace of steps 10-30")
     p.add_argument("--debug_nans", action="store_true",
@@ -469,27 +482,51 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
                     "nothing to train.", last_step, tcfg.epochs,
                 )
 
-    mesh = make_mesh(
-        None
-        if args.mesh_data == 0
-        else (args.mesh_data, args.mesh_model)
-    )
+    pp = None
+    if args.mesh_pipe > 1:
+        if args.mesh_model > 1:
+            raise ValueError("--mesh_pipe and --mesh_model are mutually "
+                             "exclusive (TP decode and PP train shard the "
+                             "same stacked layer axis differently)")
+        from mmtg_tpu.parallel.pipeline import make_dp_pp_mesh, shard_params_pp
+
+        dp = args.mesh_data or len(jax.devices()) // args.mesh_pipe
+        mesh = make_dp_pp_mesh(dp, args.mesh_pipe)
+        if args.pp_microbatches:
+            n_micro = args.pp_microbatches
+        else:
+            # largest M ≤ 2·stages dividing every per-device batch this
+            # run will see (train + val; stage-1 epochs double both, so
+            # divisibility carries over)
+            n_micro = math.gcd(
+                math.gcd(args.batch_size // dp, args.val_batch_size // dp),
+                2 * args.mesh_pipe,
+            ) or 1
+        pp = (mesh, n_micro)
+        sharded = shard_params_pp(state.params, mesh)
+    else:
+        mesh = make_mesh(
+            None
+            if args.mesh_data == 0
+            else (args.mesh_data, args.mesh_model)
+        )
+        sharded = shard_params(state.params, mesh)
     with mesh:
         state = TrainState(
-            shard_params(state.params, mesh), state.opt_state, state.step, state.rng
+            sharded, state.opt_state, state.step, state.rng
         )
         return _train_loop(
             state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data,
-            curriculums, args, logger, mesh, start_epoch=start_epoch,
+            curriculums, args, logger, mesh, start_epoch=start_epoch, pp=pp,
         )
 
 
 def _train_loop(
     state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data, curriculums,
-    args, logger, mesh, start_epoch: int = 0,
+    args, logger, mesh, start_epoch: int = 0, pp=None,
 ) -> float:
-    train_step = make_train_step(mcfg, dcfg, tcfg, tx)
-    eval_step = make_eval_step(mcfg, dcfg, tcfg)
+    train_step = make_train_step(mcfg, dcfg, tcfg, tx, pp=pp)
+    eval_step = make_eval_step(mcfg, dcfg, tcfg, pp=pp)
     timer = StepTimer()
     best_val = float("inf")
     val_loss = float("inf")
