@@ -66,7 +66,7 @@ _GPT2_TP_SPECS = {
 }
 
 
-def param_shardings(params: Dict, mesh: Mesh) -> Dict:
+def param_pspecs(params: Dict) -> Dict:
     """PartitionSpec tree for the MMTG param pytree: GPT-2 gets the TP
     layout above; everything else is replicated."""
 
@@ -83,7 +83,7 @@ def param_shardings(params: Dict, mesh: Mesh) -> Dict:
                 spec = P()
         else:
             spec = P()
-        return NamedSharding(mesh, spec)
+        return spec
 
     def walk(tree, path=()):
         if isinstance(tree, dict):
@@ -96,8 +96,86 @@ def param_shardings(params: Dict, mesh: Mesh) -> Dict:
     return walk(params)
 
 
+def param_shardings(params: Dict, mesh: Mesh) -> Dict:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_pspecs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def shard_params(params: Dict, mesh: Mesh) -> Dict:
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis
+# ---------------------------------------------------------------------------
+# The AdamW moments are 2x the param bytes and, under plain DP, fully
+# replicated on every device — the largest redundant state in the job.
+# ZeRO-1 shards them over the data axis: each device stores (and updates)
+# 1/dp of every moment tensor; GSPMD inserts the reduce-scatter /
+# all-gather around the update from the sharding annotations alone (the
+# scaling-book recipe — no hand-written collectives). The reference has
+# nothing comparable (its only parallelism is nn.DataParallel replica
+# scatter/gather, reference train.py:112-114).
+
+
+def _with_data_axis(spec: P, shape, dp: int, tp: int = 1) -> P:
+    """Extend a param's TP spec with DATA_AXIS sharding on the first
+    unsharded dim divisible by dp (moments keep the param's TP layout so
+    no resharding is needed against the TP-sharded gradients). When the
+    only divisible dim is already MODEL-sharded (e.g. the column-parallel
+    biases), shard it over both axes — ``(MODEL, DATA)``."""
+    parts = list(spec) + [None] * (len(shape) - len(spec))
+    if dp > 1:
+        # largest divisible unsharded dim (not the first): sharding a tiny
+        # leading layer axis forces GSPMD into full-rematerialization
+        # reshards against the gradients' layout
+        cands = [
+            (s, i)
+            for i, (p, s) in enumerate(zip(parts, shape))
+            if p is None and s % dp == 0 and s >= dp
+        ]
+        if cands:
+            parts[max(cands)[1]] = DATA_AXIS
+            return P(*parts)
+        for i, (p, s) in enumerate(zip(parts, shape)):
+            if p == MODEL_AXIS and s % (dp * tp) == 0:
+                parts[i] = (MODEL_AXIS, DATA_AXIS)
+                return P(*parts)
+    return P(*parts)
+
+
+def zero1_opt_shardings(opt_state, params: Dict, mesh: Mesh):
+    """NamedSharding tree for an optax state: every params-shaped subtree
+    (AdamW mu/nu) gets the param's TP spec plus data-axis sharding on its
+    first divisible dim; scalars (step counts) and empty states stay
+    replicated. Structure-matching keeps this generic over optax chains."""
+    dp = mesh.shape[DATA_AXIS]
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    pstruct = jax.tree_util.tree_structure(params)
+    pspecs = param_pspecs(params)
+
+    def matches(x):
+        try:
+            return jax.tree_util.tree_structure(x) == pstruct
+        except Exception:
+            return False
+
+    def shard_node(x):
+        if matches(x):
+            return jax.tree.map(
+                lambda spec, leaf: NamedSharding(
+                    mesh, _with_data_axis(spec, leaf.shape, dp, tp)
+                ),
+                pspecs,
+                x,
+                is_leaf=lambda t: isinstance(t, P),
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(shard_node, opt_state, is_leaf=matches)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

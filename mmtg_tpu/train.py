@@ -185,7 +185,7 @@ def loss_and_metrics(
     return total, {"loss": loss, "kl": kl, "total": total, "kept": jnp.sum(weights)}
 
 
-def make_train_step(mcfg, dcfg, tcfg, tx, pp=None):
+def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None):
     """One jitted, donated train step (grad → clip → AdamW → apply).
 
     ``const`` (the ~109MB WenLan gather table) is a runtime argument, NOT
@@ -195,7 +195,13 @@ def make_train_step(mcfg, dcfg, tcfg, tx, pp=None):
     ``pp=(mesh, n_micro)`` runs the GPT-2 stack GPipe-pipelined over the
     mesh's ``pipe`` axis (``parallel.pipeline``); grads/optimizer are
     unchanged — the reverse pipeline falls out of differentiating the
-    shard_map."""
+    shard_map.
+
+    ``zero1_shardings`` (ZeRO-1): a NamedSharding tree pinning the
+    updated optimizer state to its data-axis shards
+    (``parallel.mesh.zero1_opt_shardings``), so the AdamW moment update
+    runs — and its state lives — 1/dp-sharded per device instead of
+    replicated."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, const: Dict, batch: Dict, stage: jnp.ndarray):
@@ -209,6 +215,10 @@ def make_train_step(mcfg, dcfg, tcfg, tx, pp=None):
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if zero1_shardings is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, zero1_shardings
+            )
         params = optax.apply_updates(state.params, updates)
         # Zero-kept curriculum batches are true no-ops: the reference
         # ``continue``s before optimizer/scheduler (train.py:184-185), so
@@ -293,6 +303,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "layer stack; mutually exclusive with --mesh_model)")
     p.add_argument("--pp_microbatches", default=0, type=int,
                    help="microbatches per pipelined step (0 = 2x stages)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard the AdamW moments over the data "
+                        "axis (1/dp optimizer bytes per device; GSPMD "
+                        "emits the reduce-scatter/all-gather)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="dump a jax.profiler (Perfetto) trace of steps 10-30")
     p.add_argument("--debug_nans", action="store_true",
@@ -350,6 +364,10 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
     """CLI entry; ``mcfg``/``dcfg`` injectable so tests can drive the full
     training loop with a tiny model on the CPU mesh."""
     args = build_arg_parser().parse_args(argv)
+    if args.zero1 and args.mesh_pipe > 1:
+        raise ValueError("--zero1 derives moment shardings from the "
+                         "TP param layout; combine it with "
+                         "--mesh_data/--mesh_model, not --mesh_pipe")
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
@@ -483,6 +501,7 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
                 )
 
     pp = None
+    zero1_sh = None
     if args.mesh_pipe > 1:
         if args.mesh_model > 1:
             raise ValueError("--mesh_pipe and --mesh_model are mutually "
@@ -511,21 +530,28 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
             else (args.mesh_data, args.mesh_model)
         )
         sharded = shard_params(state.params, mesh)
+    opt_state = state.opt_state
+    if args.zero1:
+        from mmtg_tpu.parallel.mesh import zero1_opt_shardings
+
+        zero1_sh = zero1_opt_shardings(state.opt_state, state.params, mesh)
+        opt_state = jax.device_put(state.opt_state, zero1_sh)
     with mesh:
-        state = TrainState(
-            sharded, state.opt_state, state.step, state.rng
-        )
+        state = TrainState(sharded, opt_state, state.step, state.rng)
         return _train_loop(
             state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data,
             curriculums, args, logger, mesh, start_epoch=start_epoch, pp=pp,
+            zero1_shardings=zero1_sh,
         )
 
 
 def _train_loop(
     state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data, curriculums,
-    args, logger, mesh, start_epoch: int = 0, pp=None,
+    args, logger, mesh, start_epoch: int = 0, pp=None, zero1_shardings=None,
 ) -> float:
-    train_step = make_train_step(mcfg, dcfg, tcfg, tx, pp=pp)
+    train_step = make_train_step(
+        mcfg, dcfg, tcfg, tx, pp=pp, zero1_shardings=zero1_shardings
+    )
     eval_step = make_eval_step(mcfg, dcfg, tcfg, pp=pp)
     timer = StepTimer()
     best_val = float("inf")

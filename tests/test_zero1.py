@@ -1,0 +1,130 @@
+"""ZeRO-1 optimizer-state sharding (parallel.mesh.zero1_opt_shardings):
+the AdamW moments shard over the data axis, the update stays numerically
+identical to the replicated-state step, and the shardings compose with
+tensor parallelism. Scaling superset — the reference's only parallelism
+is nn.DataParallel replica scatter/gather (reference train.py:112-114)
+with fully replicated optimizer state."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from mmtg_tpu.configs import TrainConfig
+from mmtg_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    shard_batch,
+    shard_params,
+    zero1_opt_shardings,
+)
+from mmtg_tpu.train import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    mcfg = request.getfixturevalue("tiny_model_cfg")
+    dcfg = request.getfixturevalue("tiny_data_cfg")
+    tokenizer = request.getfixturevalue("tokenizer")
+    from mmtg_tpu.data import MMTGDataset, make_synthetic_records
+
+    rng = np.random.default_rng(11)
+    records = make_synthetic_records(8, rng, emb_size=dcfg.wenlan_emb_size)
+    ds = MMTGDataset.from_records(records, tokenizer, dcfg, if_train=True)
+    batch = next(ds.batches(batch_size=8))
+    V = mcfg.gpt2.vocab_size
+    for k in ("topic_ids", "targets"):
+        batch[k] = np.minimum(batch[k], V - 1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    table = jax.random.normal(jax.random.PRNGKey(3), (V, dcfg.wenlan_emb_size))
+    return mcfg, dcfg, jb, {"wenlan_table": table}
+
+
+def _run_steps(mcfg, dcfg, batch, const, mesh_shape, zero1, n_steps=3):
+    tcfg = TrainConfig(lr=1e-3, dtype="float32", remat=False)
+    mesh = make_mesh(mesh_shape)
+    with mesh:
+        state, tx = create_train_state(
+            jax.random.PRNGKey(7), mcfg, tcfg, warmup_steps=1, total_steps=10
+        )
+        sharded_params = shard_params(state.params, mesh)
+        zsh = None
+        opt_state = state.opt_state
+        if zero1:
+            zsh = zero1_opt_shardings(state.opt_state, state.params, mesh)
+            opt_state = jax.device_put(state.opt_state, zsh)
+        state = state._replace(params=sharded_params, opt_state=opt_state)
+        sb = shard_batch(batch, mesh)
+        step = make_train_step(mcfg, dcfg, tcfg, tx, zero1_shardings=zsh)
+        for _ in range(n_steps):
+            state, metrics = step(state, const, sb, jnp.asarray(3))
+    return jax.device_get(state), metrics
+
+
+def test_zero1_moments_actually_shard(setup):
+    mcfg, dcfg, batch, const = setup
+    mesh = make_mesh((8, 1))
+    tcfg = TrainConfig(lr=1e-3)
+    state, _ = create_train_state(
+        jax.random.PRNGKey(7), mcfg, tcfg, warmup_steps=1, total_steps=10
+    )
+    sh = zero1_opt_shardings(state.opt_state, state.params, mesh)
+    sharded = jax.device_put(state.opt_state, sh)
+    specs = [
+        s.sharding.spec
+        for s in jax.tree.leaves(sharded)
+        if hasattr(s, "sharding") and s.ndim >= 1
+    ]
+    def has_data(sp):
+        for part in tuple(sp):
+            if part == DATA_AXIS or (
+                isinstance(part, tuple) and DATA_AXIS in part
+            ):
+                return True
+        return False
+
+    n_data_sharded = sum(1 for sp in specs if has_data(sp))
+    # both mu and nu of every param with an 8-divisible dim shard; the rest
+    # (e.g. the [5, ..] per-step beta-attention stacks) stay replicated
+    expected = 2 * sum(
+        1
+        for p in jax.tree.leaves(state.params)
+        if any(s % 8 == 0 and s >= 8 for s in p.shape)
+    )
+    assert n_data_sharded == expected and expected > 90
+    # per-device bytes check on one big moment: wte mu is [V, D] sharded 8x
+    leaf = sharded[1][0].mu["gpt2"]["wte"]
+    shard_rows = {s.data.shape[0] for s in leaf.addressable_shards}
+    assert shard_rows == {leaf.shape[0] // 8}
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_zero1_step_matches_replicated(setup, mesh_shape):
+    mcfg, dcfg, batch, const = setup
+    ref_state, ref_metrics = _run_steps(
+        mcfg, dcfg, batch, const, (1, 1), zero1=False
+    )
+    z_state, z_metrics = _run_steps(
+        mcfg, dcfg, batch, const, mesh_shape, zero1=True
+    )
+    assert np.isfinite(float(z_metrics["total"]))
+    np.testing.assert_allclose(
+        float(z_metrics["total"]), float(ref_metrics["total"]), rtol=1e-5
+    )
+    for ref_leaf, z_leaf in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(z_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(z_leaf), np.asarray(ref_leaf), atol=2e-5, rtol=1e-5
+        )
+
+
+def test_zero1_cli_rejects_pipe_combo(tmp_path):
+    from mmtg_tpu.train import main
+
+    with pytest.raises((ValueError, SystemExit)):
+        main([
+            "--mesh_pipe", "2", "--zero1",
+            "--train_data_path", "x", "--val_data_path", "y",
+        ])
