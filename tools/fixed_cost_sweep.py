@@ -22,11 +22,14 @@ per length (~minutes each through the tunnel, cached afterwards).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> None:
