@@ -189,7 +189,9 @@ class ByteLevelBPETokenizer:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def from_files(cls, vocab_json: str, merges_txt: str, **kw):
+    def from_files(
+        cls, vocab_json: str, merges_txt: str, use_native: bool = True, **kw
+    ):
         with open(vocab_json, encoding="utf-8") as f:
             vocab = json.load(f)
         merges: List[Tuple[str, str]] = []
@@ -200,7 +202,18 @@ class ByteLevelBPETokenizer:
                 parts = line.rstrip("\n").split(" ")
                 if len(parts) == 2:
                     merges.append((parts[0], parts[1]))
-        return cls(vocab, merges, **kw)
+        tk = cls(vocab, merges, **kw)
+        if use_native:
+            # C++ fast path for dataset packing (native/bpe.cc); parity
+            # with the Python encoder is tested (tests/test_native_bpe.py)
+            # and the loader falls back to None without a toolchain.
+            try:
+                from mmtg_tpu.native import load_native_bpe
+
+                tk.native = load_native_bpe(vocab_json, merges_txt)
+            except Exception:
+                tk.native = None
+        return tk
 
     @classmethod
     def from_dir(cls, path: str, **kw):
@@ -259,6 +272,9 @@ class ByteLevelBPETokenizer:
 
     # -- encode / decode ---------------------------------------------------
 
+    # set by from_files when the C++ library is available
+    native = None
+
     def tokenize(self, text: str) -> List[str]:
         tokens: List[str] = []
         for pre in pretokenize(text):
@@ -267,6 +283,9 @@ class ByteLevelBPETokenizer:
         return tokens
 
     def encode(self, text: str) -> List[int]:
+        """Text → ids, via the native C++ encoder when available."""
+        if self.native is not None:
+            return self.native.encode(text)
         return self.convert_tokens_to_ids(self.tokenize(text))
 
     def decode(self, ids: Iterable[int], skip_special_tokens: bool = True) -> str:

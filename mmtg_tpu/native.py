@@ -1,10 +1,12 @@
-"""ctypes bindings for the native (C++) WordPiece tokenizer.
+"""ctypes bindings for the native (C++) tokenizers.
 
-Loads ``native/libwordpiece.so`` (building it with ``make`` on first use
-if a toolchain is available) and exposes a tokenizer with the same id
-output as :class:`mmtg_tpu.tokenizer.WordPieceTokenizer`. Falls back
-cleanly: :func:`load_native_tokenizer` returns ``None`` when the library
-can't be built/loaded, and callers keep using the pure-Python tokenizer.
+Loads ``native/libwordpiece.so`` / ``native/libbpe.so`` (building them
+with ``make`` on first use if a toolchain is available) and exposes
+tokenizers with the same id output as the pure-Python
+:class:`mmtg_tpu.tokenizer.WordPieceTokenizer` /
+:class:`mmtg_tpu.bpe.ByteLevelBPETokenizer`. Falls back cleanly: the
+loaders return ``None`` when a library can't be built/loaded, and
+callers keep using the pure-Python implementations.
 """
 
 from __future__ import annotations
@@ -16,21 +18,29 @@ from typing import List, Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libwordpiece.so")
+_BPE_LIB_PATH = os.path.join(_NATIVE_DIR, "libbpe.so")
+
+
+def _build_if_missing(path: str) -> bool:
+    if os.path.exists(path):
+        return True
+    if not os.path.isdir(_NATIVE_DIR):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+    return os.path.exists(path)
 
 
 def _ensure_lib() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_LIB_PATH):
-        if not os.path.isdir(_NATIVE_DIR):
-            return None
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (subprocess.SubprocessError, FileNotFoundError):
-            return None
+    if not _build_if_missing(_LIB_PATH):
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -47,6 +57,28 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.wp_vocab_size.restype = ctypes.c_int32
     lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _ensure_bpe_lib() -> Optional[ctypes.CDLL]:
+    if not _build_if_missing(_BPE_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_BPE_LIB_PATH)
+    except OSError:
+        return None
+    lib.bpe_create.restype = ctypes.c_void_p
+    lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.bpe_free.argtypes = [ctypes.c_void_p]
+    lib.bpe_encode_ids.restype = ctypes.c_int32
+    lib.bpe_encode_ids.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
+    lib.bpe_vocab_size.restype = ctypes.c_int32
+    lib.bpe_vocab_size.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -87,3 +119,44 @@ def load_native_tokenizer(vocab_path: str) -> Optional[NativeWordPiece]:
     if not handle:
         return None
     return NativeWordPiece(lib, handle)
+
+
+class NativeBPE:
+    """Thin handle over the C++ byte-level BPE; produces token ids."""
+
+    def __init__(self, lib: ctypes.CDLL, handle: int):
+        self._lib = lib
+        self._h = handle
+        self._buf = (ctypes.c_int32 * 8192)()
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.bpe_free(self._h)
+        except Exception:
+            pass
+
+    @property
+    def vocab_size(self) -> int:
+        return self._lib.bpe_vocab_size(self._h)
+
+    def encode(self, text: str) -> List[int]:
+        n = self._lib.bpe_encode_ids(
+            self._h, text.encode("utf-8"), self._buf, len(self._buf)
+        )
+        if n < 0:
+            raise RuntimeError("native BPE handle invalid")
+        return list(self._buf[:n])
+
+
+def load_native_bpe(vocab_json: str, merges_txt: str) -> Optional[NativeBPE]:
+    """Best-effort load; ``None`` means use the pure-Python BPE."""
+    lib = _ensure_bpe_lib()
+    if lib is None:
+        return None
+    handle = lib.bpe_create(
+        vocab_json.encode("utf-8"), merges_txt.encode("utf-8")
+    )
+    if not handle:
+        return None
+    return NativeBPE(lib, handle)
