@@ -174,6 +174,14 @@ class TrainConfig:
     # Measured on v5e (docs/PERF.md): recompute at ~180 TFLOP/s beats
     # the HBM round-trip, so "auto" resolves to "full" (train.py).
     remat_policy: str = "auto"
+    # Gradient accumulation: split each batch into N sequential
+    # micro-chunks, one fwd+bwd per chunk, exact recombination under the
+    # curriculum weighting (each chunk's weighted-mean total is re-scaled
+    # by its kept count, summed, divided by the global kept count — see
+    # make_train_step). The big-effective-batch lever past what HBM fits;
+    # on a multi-chip mesh prefer widening the data axis first (the chunk
+    # reshape of a sharded batch costs a reshard).
+    grad_accum: int = 1
     # "chunked": CE from hidden states, [B,chunk,V] logits at a time under
     # jax.checkpoint (loss.py:sequence_unlikelihood_loss_from_hidden) —
     # exact same value, ~4.5 GB less peak HBM at b256. "full": reference-

@@ -203,17 +203,76 @@ def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None):
     runs — and its state lives — 1/dp-sharded per device instead of
     replicated."""
 
+    def _grads_and_metrics(params, const, batch, stage, dropout_rng):
+        """One fwd+bwd over the whole batch, or ``tcfg.grad_accum``
+        sequential micro-chunks with EXACT recombination: the chunk total
+        is a kept-weighted mean, so ``grad(total_c)·max(kept_c, 1)``
+        accumulates to the full-batch numerator and one division by
+        ``max(Σkept, 1)`` restores the reference objective — identical
+        gradients for any row→chunk assignment (tests/test_grad_accum.py)."""
+        N = tcfg.grad_accum
+
+        def loss_fn_for(chunk, rng_i):
+            def loss_fn(p):
+                return loss_and_metrics(
+                    p, const, mcfg, dcfg, tcfg, chunk, stage, rng_i, False,
+                    pp=pp,
+                )
+            return loss_fn
+
+        if N <= 1:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn_for(batch, dropout_rng), has_aux=True
+            )(params)
+            return grads, metrics
+
+        B = batch["targets"].shape[0]
+        if B % N:
+            raise ValueError(f"batch {B} not divisible by grad_accum {N}")
+        chunks = jax.tree.map(
+            lambda x: x.reshape((N, B // N) + x.shape[1:]), batch
+        )
+
+        def body(carry, xs):
+            g_acc, num_acc, i = carry
+            chunk = xs
+            rng_i = jax.random.fold_in(dropout_rng, i)
+
+            def scaled_loss(p):
+                total, m = loss_fn_for(chunk, rng_i)(p)
+                k = jnp.maximum(m["kept"], 1.0)
+                return total * k, m
+
+            (_, m), g = jax.value_and_grad(scaled_loss, has_aux=True)(params)
+            k = jnp.maximum(m["kept"], 1.0)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            num_acc = {
+                "loss": num_acc["loss"] + m["loss"] * k,
+                "kl": num_acc["kl"] + m["kl"] * k,
+                "total": num_acc["total"] + m["total"] * k,
+                "kept": num_acc["kept"] + m["kept"],
+            }
+            return (g_acc, num_acc, i + 1), None
+
+        g0 = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        n0 = {k: jnp.zeros((), jnp.float32) for k in ("loss", "kl", "total", "kept")}
+        (g_acc, num, _), _ = jax.lax.scan(body, (g0, n0, 0), chunks)
+        denom = jnp.maximum(num["kept"], 1.0)
+        grads = jax.tree.map(lambda g: (g / denom).astype(jnp.float32), g_acc)
+        metrics = {
+            "loss": num["loss"] / denom,
+            "kl": num["kl"] / denom,
+            "total": num["total"] / denom,
+            "kept": num["kept"],
+        }
+        return grads, metrics
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, const: Dict, batch: Dict, stage: jnp.ndarray):
         rng, dropout_rng = jax.random.split(state.rng)
-
-        def loss_fn(p):
-            return loss_and_metrics(
-                p, const, mcfg, dcfg, tcfg, batch, stage, dropout_rng, False,
-                pp=pp,
-            )
-
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads, metrics = _grads_and_metrics(
+            state.params, const, batch, stage, dropout_rng
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         if zero1_shardings is not None:
             opt_state = jax.lax.with_sharding_constraint(
@@ -303,6 +362,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "layer stack; mutually exclusive with --mesh_model)")
     p.add_argument("--pp_microbatches", default=0, type=int,
                    help="microbatches per pipelined step (0 = 2x stages)")
+    p.add_argument("--grad_accum", default=1, type=int,
+                   help="split each batch into N sequential micro-chunks "
+                        "(exact recombination under curriculum weights) — "
+                        "effective batches beyond what HBM fits")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard the AdamW moments over the data "
                         "axis (1/dp optimizer bytes per device; GSPMD "
@@ -414,7 +477,14 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
         alpha=args.alpha,
         dtype=args.dtype,
         remat=not args.no_remat,
+        grad_accum=args.grad_accum,
     )
+    if args.grad_accum > 1 and args.batch_size % args.grad_accum:
+        raise ValueError(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--grad_accum {args.grad_accum} (stage-1 epochs run 2x batch, "
+            "which stays divisible)"
+        )
 
     tokenizer = load_tokenizer(args.vocab_path)
     logger.info("Loading data...")
