@@ -123,6 +123,102 @@ def load_reference_checkpoint(path: str, mcfg: ModelConfig) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# Reference .pth EXPORT (the inverse bridge: our pytree → reference format)
+# ---------------------------------------------------------------------------
+
+
+def export_reference_state_dict(params: Dict, mcfg: ModelConfig) -> Dict[str, Any]:
+    """Our parameter pytree → a reference ``MMTG.state_dict()``-shaped
+    dict of torch tensors (inverse of :func:`import_reference_state_dict`,
+    loadable by the reference model / our torch oracle with only the HF
+    attention mask buffers regenerated). Lets a user trained on this
+    framework move a checkpoint BACK to the reference PyTorch code.
+    """
+    import torch  # optional dependency, fenced to the export tool
+
+    def t(x):
+        return torch.from_numpy(np.asarray(jax.device_get(x)).copy())
+
+    out: Dict[str, Any] = {}
+
+    def put_linear(name, p):
+        out[f"{name}.weight"] = t(p["w"]).T.contiguous()
+        out[f"{name}.bias"] = t(p["b"])
+
+    def put_ln(name, p):
+        out[f"{name}.weight"] = t(p["g"])
+        out[f"{name}.bias"] = t(p["b"])
+
+    def put_rnn(prefix, p):
+        for k, layer in enumerate(p["layers"]):
+            out[f"{prefix}.weight_ih_l{k}"] = t(layer["w_ih"]).T.contiguous()
+            out[f"{prefix}.weight_hh_l{k}"] = t(layer["w_hh"]).T.contiguous()
+            out[f"{prefix}.bias_ih_l{k}"] = t(layer["b_ih"])
+            out[f"{prefix}.bias_hh_l{k}"] = t(layer["b_hh"])
+
+    put_linear("encoder.topic_fc", params["encoder"]["topic_fc"])
+    put_rnn("encoder.rnns_image", params["encoder"]["image"])
+    put_rnn("encoder.rnns_text", params["encoder"]["text"])
+    put_ln("ln_layer1", params["ln_topic"])
+    put_ln("ln_layer2", params["ln_image"])
+    put_ln("ln_layer3", params["ln_text"])
+    for pre, key in (
+        ("img_inner_atten_layer", "alpha_img"),
+        ("text_inner_atten_layer", "alpha_text"),
+    ):
+        for sub in ("query", "key", "value"):
+            put_linear(f"{pre}.{sub}", params[key][sub])
+    for i in range(mcfg.seq_len):
+        out[f"mm_atten_layer.att_matrices.{i}.weight"] = (
+            t(params["beta"]["att_w"][i]).T.contiguous()
+        )
+        out[f"mm_atten_layer.att_matrices.{i}.bias"] = t(params["beta"]["att_b"][i])
+    put_linear("mm_atten_layer.out_linear", params["beta"]["out"])
+    put_linear("decoder.projector_layer1", params["projector1"])
+    put_linear("decoder.projector_layer2", params["projector2"])
+
+    # GPT-2 (inverse of models.gpt2.import_hf_gpt2): HF Conv1D weights are
+    # [in, out] like ours — unstack the layer axis, no transposes.
+    g = params["gpt2"]
+    out["decoder.gpt2.transformer.wte.weight"] = t(g["wte"])
+    out["decoder.gpt2.transformer.wpe.weight"] = t(g["wpe"])
+    out["decoder.gpt2.lm_head.weight"] = t(g["wte"])  # weight-tied head
+    names = {
+        "ln1_g": "ln_1.weight", "ln1_b": "ln_1.bias",
+        "attn_w": "attn.c_attn.weight", "attn_b": "attn.c_attn.bias",
+        "attn_proj_w": "attn.c_proj.weight", "attn_proj_b": "attn.c_proj.bias",
+        "ln2_g": "ln_2.weight", "ln2_b": "ln_2.bias",
+        "mlp_fc_w": "mlp.c_fc.weight", "mlp_fc_b": "mlp.c_fc.bias",
+        "mlp_proj_w": "mlp.c_proj.weight", "mlp_proj_b": "mlp.c_proj.bias",
+    }
+    for ours, theirs in names.items():
+        stacked = g["h"][ours]
+        for i in range(mcfg.gpt2.n_layer):
+            out[f"decoder.gpt2.transformer.h.{i}.{theirs}"] = t(stacked[i])
+    out["decoder.gpt2.transformer.ln_f.weight"] = t(g["lnf_g"])
+    out["decoder.gpt2.transformer.ln_f.bias"] = t(g["lnf_b"])
+    return out
+
+
+def save_reference_checkpoint(path: str, params: Dict, mcfg: ModelConfig) -> None:
+    """Write a reference-format ``.pth``: ``{'model': state_dict, 'args',
+    'model_cfgs'}`` with the ``nn.DataParallel`` ``module.`` prefix the
+    reference's loader strips (``generate.py:188-192``,
+    ``train.py:212-213``)."""
+    import torch
+
+    sd = export_reference_state_dict(params, mcfg)
+    torch.save(
+        {
+            "model": {f"module.{k}": v for k, v in sd.items()},
+            "args": {},
+            "model_cfgs": {},
+        },
+        path,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Orbax train-state checkpoints
 # ---------------------------------------------------------------------------
 
