@@ -44,6 +44,10 @@ def main() -> None:
                     help="int8 KV cache is the serving default (1.66x)")
     ap.add_argument("--weight-dtype", default="model", choices=["model", "int8"],
                     help="decode-matmul weight precision (weight-only int8)")
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["auto", "pallas", "fused", "xla"],
+                    help="decode attention: per-layer Pallas kernels, the "
+                         "whole-step megakernel, or XLA")
     ap.add_argument("--topk-impl", default="exact", choices=["exact", "approx"],
                     help="top-k: exact sort custom call vs the TPU's "
                          "approx partial-reduce (recall 0.99)")
@@ -72,6 +76,7 @@ def main() -> None:
     gcfg = GenerateConfig(cache_dtype=args.cache_dtype,
                           weight_dtype=args.weight_dtype,
                           topk_impl=args.topk_impl,
+                          attn_impl=args.attn_impl,
                           merged_kv=args.merged_kv == "on")  # canonical decode config
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -187,6 +192,7 @@ def main() -> None:
             "dtype": args.dtype,
             "cache_dtype": args.cache_dtype,
             "weight_dtype": args.weight_dtype,
+            "attn_impl": args.attn_impl,
             "decode_wall_s": round(dt, 3),
             "p50_latency_s": round(dt, 3),
             "best_latency_s": round(best, 3),

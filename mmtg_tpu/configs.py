@@ -211,7 +211,10 @@ class GenerateConfig:
     # (model.py:296-306). See SURVEY.md §3.3 for the inconsistency.
     type_id_scheme: str = "train"
     # decode attention: 'auto' → Pallas dynamic-length kernel on TPU,
-    # XLA masked softmax elsewhere; or force 'pallas' / 'xla'.
+    # XLA masked softmax elsewhere; or force 'pallas' / 'xla' / 'fused'
+    # ('fused' = the whole-step megakernel, ops/decode_megakernel.py —
+    # all layers in one pallas_call; int8 split cache + full-precision
+    # weights only, silently falls back to 'pallas' out of scope).
     attn_impl: str = "auto"
     # KV cache precision: 'model' (= param dtype), 'int8' (per-row
     # abs-max quantization — halves the decode loop's dominant HBM

@@ -123,13 +123,23 @@ def _generate_jit(
     # the XLA path there.
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
     d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
+    if attn_impl == "fused" and not (
+        gcfg.cache_dtype == "int8"
+        and not gcfg.merged_kv
+        and gcfg.weight_dtype != "int8"
+        and tp_axis is None
+        and d_kv % 128 == 0
+    ):
+        # megakernel scope: int8 split cache, full-precision weights, no
+        # TP — everything else uses the per-layer kernels
+        attn_impl = "pallas"
     if attn_impl == "pallas" and d_store % 128 != 0:
         attn_impl = "xla"
     # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
     # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
     # CLI) up to a multiple of 8 and slice the tokens back at the end.
     orig_B = B
-    pad_b = (-B) % 8 if attn_impl == "pallas" else 0
+    pad_b = (-B) % 8 if attn_impl in ("pallas", "fused") else 0
     if pad_b:
         batch = {
             k: jnp.concatenate([v, jnp.zeros((pad_b,) + v.shape[1:], v.dtype)])
@@ -144,7 +154,10 @@ def _generate_jit(
         batch["topic_emb"],
         batch["img_embs"],
         batch["r_embs"],
-        use_fused_gru=attn_impl == "pallas",  # same TPU-capability gate
+        # 'pallas' only: the GRU runs once per call (not per token), so the
+        # kernel is perf-noise for 'fused', and keeping it off lets the
+        # megakernel engine path run in interpret mode on CPU CI.
+        use_fused_gru=attn_impl == "pallas",
     )
 
     # ---- prefill: topic prompt + initial [#START#] ------------------------

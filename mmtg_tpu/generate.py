@@ -56,6 +56,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk_impl", default="exact", choices=["exact", "approx"],
                    help="top-k sampling: exact (reference semantics) or the "
                         "TPU's approx partial-reduce (recall 0.99)")
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "pallas", "fused", "xla"],
+                   help="decode attention: per-layer Pallas kernels (default "
+                        "on TPU), the whole-step megakernel ('fused', int8 "
+                        "cache only), or XLA")
     p.add_argument("--variant", default="chinese", choices=["chinese", "english"],
                    help="'english' = CLIP embeddings + byte-level-BPE GPT-2 "
                         "(reference README.md:19-20,86); --tokenizer_path then "
@@ -138,6 +143,7 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         cache_dtype=args.cache_dtype,
         weight_dtype=args.weight_dtype,
         topk_impl=args.topk_impl,
+        attn_impl=args.attn_impl,
     )
 
     tokenizer = load_tokenizer(args.tokenizer_path)

@@ -546,6 +546,31 @@ def gpt2_decode_step(
     # per-layer glue's memory floor at decode batch sizes).
     int8_w = "attn_w_q" in params["h"]
 
+    if attn_impl == "fused":
+        # whole-step megakernel: ALL layers in one pallas_call (per-call
+        # fixed cost paid once; glue matmuls overlap cache streaming).
+        # Scope-gated by decoding._generate_jit; fail loudly if misused.
+        from mmtg_tpu.ops import decode_megakernel
+
+        if not (quantized and not merged and not int4 and tp_axis is None
+                and not int8_w):
+            raise ValueError(
+                "attn_impl='fused' needs an int8 split cache, full-precision "
+                "weights and no tensor parallelism"
+            )
+        h, new_k, new_v, new_ks, new_vs = decode_megakernel.decode_block_fused(
+            h, params["h"], cache.k, cache.v, cache.k_scale, cache.v_scale,
+            key_mask, position, n_head=n_head,
+            eps=cfg.layer_norm_epsilon,
+            block_b=decode_megakernel.BLOCK_B,
+            sub_tiles=decode_megakernel.SUB_TILES,
+            interpret=decode_megakernel.INTERPRET,
+        )
+        h = _layer_norm(
+            h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon
+        )
+        return h @ params["wte"].T, KVCache(new_k, new_v, new_ks, new_vs)
+
     def mm(x, lp, key):
         if int8_w:
             # f32 scale epilogue, cast back to the stream dtype (the cast
