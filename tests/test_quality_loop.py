@@ -21,16 +21,21 @@ def test_quality_loop_scaled_down(tmp_path):
         batch_size=8,
         out_json=str(tmp_path / "quality.json"),
         work_dir=str(tmp_path / "work"),
+        gen_seeds=(7, 8),
     )
     assert report["learned"], report["val_loss_curve"]
     assert len(report["val_loss_curve"]) == 2
-    # generation + metrics ran for every cache mode
+    # generation + metrics ran for every cache mode, across seeds
     for mode in ("model", "int8", "int4"):
-        assert 0.0 <= report["gen_vs_corpus"][mode]["distinct1"] <= 1.0
+        d2 = report["gen_vs_corpus"][mode]["distinct2"]
+        assert 0.0 <= d2["mean"] <= 1.0
+        assert len(d2["per_seed"]) == 2
     # int8 cache must stay near-identical to the fp decode on a trained
     # model (the committed full artifact measures BLEU2 1.0; allow wiggle
     # for the scaled-down run)
     assert report["cache_mode_vs_fp"]["int8"]["bleu"]["bleu2"] > 0.8
+    # the divergence control exists: fp-vs-fp across seeds
+    assert "seed8_vs_seed7" in report["fp_seed_divergence_control"]
 
 
 def test_committed_quality_artifact_is_current():

@@ -50,6 +50,7 @@ def run(
     out_json: str = "docs/QUALITY_LOOP.json",
     seed: int = 0,
     work_dir: str = "/tmp/mmtg_quality_loop",
+    gen_seeds: tuple = (7, 8, 9),
 ) -> dict:
     import jax
 
@@ -145,11 +146,19 @@ def run(
     # predecessor
     learned = val_curve[-1] < val_curve[0]
 
-    # ---- generate from the final checkpoint, one decode per cache mode --
+    # ---- generate from the final checkpoint: cache modes × seeds ---------
+    # Multiple seeds serve two purposes: (a) the across-seed spread of each
+    # mode's corpus metrics is the fixture's noise floor, so a quantized
+    # mode's corpus-BLEU delta can be read against it; (b) fp-vs-fp across
+    # seeds is the DIVERGENCE CONTROL — temp-1.1/top-k sampling is chaotic,
+    # so two fp trajectories from different seeds disagree too, and a
+    # quantized mode's same-seed BLEU-vs-fp must be compared to that scale
+    # (not to 1.0) before calling it degradation.
     from mmtg_tpu.eval import corpus_bleu, distinct_n, tokenize_lyric
     from mmtg_tpu.generate import main as generate_main
 
-    outs = {}
+    seeds = list(gen_seeds)
+    outs = {}  # mode -> {seed -> lines}
     modes = {
         "model": [],
         "int8": ["--cache_dtype", "int8"],
@@ -158,19 +167,21 @@ def run(
         "int8_w8": ["--cache_dtype", "int8", "--weight_dtype", "int8"],
     }
     for mode, extra in modes.items():
-        out_path = os.path.join(work_dir, f"samples_{mode}.txt")
-        generate_main(
-            [
-                "--data_path", paths["test"], "--model_path", save,
-                "--tokenizer_path", vocab, "--token_emb_path", emb_path,
-                "--batch_size", "8", "--n_samples", "2", "--seed", "7",
-                "--save_samples", "--save_samples_path", out_path,
-            ] + extra,
-            mcfg=mcfg,
-            dcfg=dcfg,
-        )
-        with open(out_path, encoding="utf-8") as f:
-            outs[mode] = [l.rstrip("\n") for l in f]
+        outs[mode] = {}
+        for s in seeds:
+            out_path = os.path.join(work_dir, f"samples_{mode}_s{s}.txt")
+            generate_main(
+                [
+                    "--data_path", paths["test"], "--model_path", save,
+                    "--tokenizer_path", vocab, "--token_emb_path", emb_path,
+                    "--batch_size", "8", "--n_samples", "2", "--seed", str(s),
+                    "--save_samples", "--save_samples_path", out_path,
+                ] + extra,
+                mcfg=mcfg,
+                dcfg=dcfg,
+            )
+            with open(out_path, encoding="utf-8") as f:
+                outs[mode][s] = [l.rstrip("\n") for l in f]
 
     def metrics_for(lines, ref_lines_for_bleu):
         hyps = [tokenize_lyric(l) for l in lines]
@@ -182,22 +193,45 @@ def run(
             "distinct2": distinct_n(hyps, 2),
         }
 
+    def mean_std(vals):
+        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
+                "per_seed": [float(v) for v in vals]}
+
+    def corpus_summary(mode):
+        per_seed = [metrics_for(outs[mode][s], ref_lines) for s in seeds]
+        return {
+            "bleu2": mean_std([m["bleu"]["bleu2"] for m in per_seed]),
+            "distinct2": mean_std([m["distinct2"] for m in per_seed]),
+            "seed7_full": per_seed[0],
+        }
+
     report = {
         "config": {
             "n_train": n_train, "epochs": epochs, "batch_size": batch_size,
             "curriculums": [1, 3], "model": "2L/4H/64d GPT-2, vocab 13317",
+            "gen_seeds": seeds,
         },
         "val_loss_curve": val_curve,
         "final_val_loss": float(final_val),
         "learned": bool(learned),
-        "gen_vs_corpus": {
-            m: metrics_for(outs[m], ref_lines) for m in outs
-        },
-        # cache-mode quality: quantized decodes scored against the
+        # corpus-side quality per mode: mean±std over seeds — the std IS
+        # the fixture noise floor for reading cross-mode deltas
+        "gen_vs_corpus": {m: corpus_summary(m) for m in outs},
+        # cache-mode similarity: quantized decode scored against the
         # full-precision decode of the SAME prompts and seed
         "cache_mode_vs_fp": {
-            m: metrics_for(outs[m], outs["model"])
+            m: metrics_for(outs[m][seeds[0]], outs["model"][seeds[0]])
             for m in ("int8", "int4", "int8_w8")
+        },
+        # divergence control: fp-vs-fp across seeds — the BLEU scale that
+        # pure sampling-trajectory divergence produces with IDENTICAL
+        # numerics; a quantized mode's vs-fp BLEU at or above this level
+        # indicates divergence, not degradation
+        "fp_seed_divergence_control": {
+            f"seed{s}_vs_seed{seeds[0]}": metrics_for(
+                outs["model"][s], outs["model"][seeds[0]]
+            )["bleu"]["bleu2"]
+            for s in seeds[1:]
         },
     }
     os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
