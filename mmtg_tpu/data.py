@@ -169,15 +169,46 @@ class MMTGDataset:
         # ratings — ``scores`` is NOT part of the model batch (``batches``
         # and ``_ARRAY_KEYS`` exclude it).
         self.scores = np.full((n, seq_len), np.nan, np.float32)
+
+        # Token columns: one threaded native call when the C++ tokenizer is
+        # loaded and the corpus matches the reference framing contract
+        # (uniform 2 sentences/step → the fixed 22-token grid); otherwise
+        # the per-sample Python framing below (bit-identical — enforced by
+        # tests/test_native_packer.py).
+        native_tok = getattr(tokenizer, "native", None)
+        packed = None
+        if (
+            n > 0
+            and native_tok is not None
+            and hasattr(native_tok, "pack_rows")
+            and all(len(item["lyrics"]) == 2 * seq_len for item in raw)
+            and cfg.target_length == 2 * seq_len * (cfg.max_sent_length + 2) + 1
+        ):
+            packed = native_tok.pack_rows(
+                [item["topic"] for item in raw],
+                [list(item["lyrics"]) for item in raw],
+                topic_len=cfg.topic_prompt_length,
+                max_sent=cfg.max_sent_length,
+                pad_id=tokenizer.pad_token_id,
+                start_id=tokenizer.convert_tokens_to_ids("[#START#]"),
+                eos_id=tokenizer.convert_tokens_to_ids("[#EOS#]"),
+                sep_id=tokenizer.sep_token_id,
+            )
+            cols.update(packed)
+
         for i, item in enumerate(raw):
             for k in range(seq_len):
                 if f"score_{k}" in item:
                     self.scores[i, k] = float(item[f"score_{k}"])
-            tids, tmask, ttype = encode_topic(tokenizer, item["topic"], cfg)
-            lids, lmask, ltype = encode_lyrics(tokenizer, item["lyrics"], cfg)
-            cols["topic_ids"][i] = tids
-            cols["tpw_attention_mask"][i] = tmask
-            cols["tpw_type_ids"][i] = ttype
+            if packed is None:
+                tids, tmask, ttype = encode_topic(tokenizer, item["topic"], cfg)
+                lids, lmask, ltype = encode_lyrics(tokenizer, item["lyrics"], cfg)
+                cols["topic_ids"][i] = tids
+                cols["tpw_attention_mask"][i] = tmask
+                cols["tpw_type_ids"][i] = ttype
+                cols["targets"][i] = lids
+                cols["attention_mask"][i] = lmask
+                cols["type_ids"][i] = ltype
             cols["topic_emb"][i] = np.asarray(item["topic_emb"], np.float32)
             cols["img_embs"][i] = np.stack(
                 [np.asarray(item[f"img_{k}_emb"], np.float32) for k in range(seq_len)]
@@ -185,9 +216,6 @@ class MMTGDataset:
             cols["r_embs"][i] = np.stack(
                 [np.asarray(item[f"r_{k}_emb"], np.float32) for k in range(seq_len)]
             )
-            cols["targets"][i] = lids
-            cols["attention_mask"][i] = lmask
-            cols["type_ids"][i] = ltype
             if if_train:
                 cols["rating"][i] = float(item["rating"])
         self._cols = cols

@@ -57,6 +57,19 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.wp_vocab_size.restype = ctypes.c_int32
     lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.wp_pack_rows.restype = ctypes.c_int32
+    lib.wp_pack_rows.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),  # topics
+        ctypes.POINTER(ctypes.c_char_p),  # lyrics, row-major [n, n_sents]
+        ctypes.c_int32, ctypes.c_int32,   # n, n_sents
+        ctypes.c_int32, ctypes.c_int32,   # topic_len, max_sent
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # ids
+        _i32p, _i32p, _i32p,              # topic_ids/mask/type
+        _i32p, _i32p, _i32p,              # targets/mask/type_ids
+        ctypes.c_int32,                   # n_threads (0 = auto)
+    ]
     return lib
 
 
@@ -108,6 +121,60 @@ class NativeWordPiece:
         if n < 0:
             raise RuntimeError("native tokenizer handle invalid")
         return list(self._buf[:n])
+
+    def pack_rows(
+        self,
+        topics: List[str],
+        lyrics: List[List[str]],
+        topic_len: int,
+        max_sent: int,
+        pad_id: int,
+        start_id: int,
+        eos_id: int,
+        sep_id: int,
+        n_threads: int = 0,
+    ):
+        """Pack all token columns for ``n`` samples in ONE native call
+        (threaded in C++; see ``wp_pack_rows`` in native/wordpiece.cc).
+
+        ``lyrics`` is ``[n][n_sents]`` — every sample must carry the same
+        sentence count. Returns a dict of int32 arrays: ``topic_ids``,
+        ``tpw_attention_mask``, ``tpw_type_ids`` ``[n, topic_len]`` and
+        ``targets``, ``attention_mask``, ``type_ids``
+        ``[n, n_sents*(max_sent+2)+1]``."""
+        import numpy as np
+
+        n = len(topics)
+        n_sents = len(lyrics[0]) if lyrics else 0
+        if any(len(ls) != n_sents for ls in lyrics):
+            raise ValueError("pack_rows needs a uniform sentence count")
+        tlen = n_sents * (max_sent + 2) + 1
+        enc_topics = [t.encode("utf-8") for t in topics]
+        enc_lyrics = [s.encode("utf-8") for ls in lyrics for s in ls]
+        c_topics = (ctypes.c_char_p * n)(*enc_topics)
+        c_lyrics = (ctypes.c_char_p * (n * n_sents))(*enc_lyrics)
+        out = {
+            "topic_ids": np.zeros((n, topic_len), np.int32),
+            "tpw_attention_mask": np.zeros((n, topic_len), np.int32),
+            "tpw_type_ids": np.zeros((n, topic_len), np.int32),
+            "targets": np.zeros((n, tlen), np.int32),
+            "attention_mask": np.zeros((n, tlen), np.int32),
+            "type_ids": np.zeros((n, tlen), np.int32),
+        }
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        rc = self._lib.wp_pack_rows(
+            self._h, c_topics, c_lyrics, n, n_sents, topic_len, max_sent,
+            pad_id, start_id, eos_id, sep_id,
+            ptr(out["topic_ids"]), ptr(out["tpw_attention_mask"]),
+            ptr(out["tpw_type_ids"]), ptr(out["targets"]),
+            ptr(out["attention_mask"]), ptr(out["type_ids"]), n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError("native pack_rows failed")
+        return out
 
 
 def load_native_tokenizer(vocab_path: str) -> Optional[NativeWordPiece]:

@@ -38,6 +38,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--repetition_penalty", default=1.5, type=float)
     p.add_argument("--n_samples", default=5, type=int)
     p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"])
+    p.add_argument("--weight_dtype", default="model", choices=["model", "int8"],
+                   help="decode-matmul weight precision (weight-only int8)")
+    p.add_argument("--topk_impl", default="exact", choices=["exact", "approx"])
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "pallas", "fused", "xla"],
+                   help="decode attention: per-layer Pallas kernels, the "
+                        "whole-step megakernel, or XLA")
     p.add_argument("--swap_probe", action="store_true",
                    help="also generate with two experience steps swapped")
     p.add_argument("--swap_steps", default="1,3", type=str)
@@ -67,6 +74,9 @@ def main(argv=None) -> None:
         repetition_penalty=args.repetition_penalty,
         length=dcfg.max_seq_length,
         cache_dtype=args.cache_dtype,
+        weight_dtype=args.weight_dtype,
+        topk_impl=args.topk_impl,
+        attn_impl=args.attn_impl,
     )
     tokenizer = load_tokenizer(args.tokenizer_path)
     params = load_params(args.model_path, mcfg)

@@ -17,6 +17,7 @@
 #include <cstring>
 #include <fstream>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -297,6 +298,119 @@ int32_t wp_tokenize_ids(void* h, const char* text, int32_t* out,
 int32_t wp_vocab_size(void* h) {
   if (h == nullptr) return -1;
   return (int32_t)static_cast<Tokenizer*>(h)->vocab.size();
+}
+
+// ---- corpus packer ---------------------------------------------------------
+//
+// Packs the token columns for n samples in one call — the host-side
+// dataset hot loop (reference MyDataset.py:34-118: 1 topic + n_sents
+// sentence tokenizations per sample) moves entirely into C++, threaded
+// over samples (the tokenizer is read-only; ctypes releases the GIL).
+//
+// Framing contract (must stay bit-identical to mmtg_tpu/data.py):
+//   topic (MyDataset.py:62-78): encode("主题词：" + topic)[:topic_len],
+//     mask/type 1 on real tokens, pad_id/0/0 on padding.
+//   lyrics (MyDataset.py:81-118): per sentence [#START#] + content[:max_sent]
+//     + pads to max_sent+1 + [#EOS#] (= max_sent+2 tokens); content type =
+//     pair+1, except the 5th pair "calls back" to type 1; START/EOS/pad
+//     type 0; a single [SEP] (mask 1, type 0) closes the row. Sentences
+//     are scrubbed of {space, \n, \t, \r, U+00A0, U+3000} BEFORE
+//     tokenization (MyDataset.py:94-95 — the removal JOINS adjacent words,
+//     so it cannot be folded into the tokenizer's whitespace handling).
+//
+// Output arrays are caller-allocated, row-major:
+//   topic_ids/topic_mask/topic_type: [n, topic_len]
+//   targets/mask/type_ids:           [n, n_sents*(max_sent+2)+1]
+// Returns 0, or -1 on an invalid handle.
+
+extern "C" int32_t wp_pack_rows(
+    void* h, const char** topics, const char** lyrics /* [n*n_sents] */,
+    int32_t n, int32_t n_sents, int32_t topic_len, int32_t max_sent,
+    int32_t pad_id, int32_t start_id, int32_t eos_id, int32_t sep_id,
+    int32_t* topic_ids, int32_t* topic_mask, int32_t* topic_type,
+    int32_t* targets, int32_t* mask, int32_t* type_ids, int32_t n_threads) {
+  if (h == nullptr) return -1;
+  const auto& tk = *static_cast<Tokenizer*>(h);
+  const int32_t frame = max_sent + 2;
+  const size_t tlen = (size_t)n_sents * frame + 1;
+  static const std::string kPrefix = "\xe4\xb8\xbb\xe9\xa2\x98\xe8\xaf\x8d"
+                                     "\xef\xbc\x9a";  // "主题词："
+
+  auto pack_range = [&](int32_t lo, int32_t hi) {
+    std::vector<int32_t> ids;
+    std::string buf;
+    for (int32_t i = lo; i < hi; ++i) {
+      // topic prompt
+      buf.assign(kPrefix);
+      buf.append(topics[i]);
+      ids.clear();
+      for (const auto& w : basic_tokenize(buf.data(), buf.size()))
+        wordpiece(tk, w, &ids);
+      int32_t* ti = topic_ids + (size_t)i * topic_len;
+      int32_t* tm = topic_mask + (size_t)i * topic_len;
+      int32_t* tt = topic_type + (size_t)i * topic_len;
+      for (int32_t j = 0; j < topic_len; ++j) {
+        const bool real = j < (int32_t)ids.size();
+        ti[j] = real ? ids[j] : pad_id;
+        tm[j] = real ? 1 : 0;
+        tt[j] = real ? 1 : 0;
+      }
+      // lyric grid
+      int32_t* row = targets + (size_t)i * tlen;
+      int32_t* mrow = mask + (size_t)i * tlen;
+      int32_t* yrow = type_ids + (size_t)i * tlen;
+      size_t off = 0;
+      for (int32_t s = 0; s < n_sents; ++s) {
+        const int32_t pair = s / 2;
+        const int32_t ctype = (pair == 4) ? 1 : pair + 1;
+        const char* sent = lyrics[(size_t)i * n_sents + s];
+        buf.clear();
+        for (uint32_t c : decode_utf8(sent, strlen(sent))) {
+          if (c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == 0xA0 ||
+              c == 0x3000)
+            continue;
+          encode_utf8(c, &buf);
+        }
+        ids.clear();
+        for (const auto& w : basic_tokenize(buf.data(), buf.size()))
+          wordpiece(tk, w, &ids);
+        if ((int32_t)ids.size() > max_sent) ids.resize(max_sent);
+        row[off] = start_id; mrow[off] = 1; yrow[off] = 0; ++off;
+        for (int32_t j = 0; j < max_sent; ++j) {
+          const bool real = j < (int32_t)ids.size();
+          row[off] = real ? ids[j] : pad_id;
+          mrow[off] = real ? 1 : 0;
+          yrow[off] = real ? ctype : 0;
+          ++off;
+        }
+        row[off] = eos_id; mrow[off] = 1; yrow[off] = 0; ++off;
+      }
+      row[off] = sep_id; mrow[off] = 1; yrow[off] = 0;
+    }
+  };
+
+  int32_t nt = n_threads;
+  if (nt <= 0) {
+    nt = (int32_t)std::thread::hardware_concurrency();
+    if (nt <= 0) nt = 1;
+    if (nt > 8) nt = 8;
+  }
+  if (nt > n) nt = n > 0 ? n : 1;
+  if (nt <= 1) {
+    pack_range(0, n);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    const int32_t chunk = (n + nt - 1) / nt;
+    for (int32_t t = 0; t < nt; ++t) {
+      const int32_t lo = t * chunk;
+      const int32_t hi = lo + chunk < n ? lo + chunk : n;
+      if (lo >= hi) break;
+      pool.emplace_back(pack_range, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"
