@@ -36,9 +36,15 @@ def main() -> int:
         cmd = [sys.executable, os.path.join(here, script),
                "--batch", str(args.batch)] + extra
         print(f"=== {name} ===", flush=True)
+        # APPEND to PYTHONPATH — the axon TPU plugin is discovered through
+        # the inherited PYTHONPATH (/root/.axon_site); replacing it loses
+        # the backend ("'axon' is not in the list of known backends")
+        pythonpath = os.pathsep.join(
+            p for p in (root, os.environ.get("PYTHONPATH", "")) if p
+        )
         rc = subprocess.run(
             cmd, cwd=root,
-            env=dict(os.environ, PYTHONPATH=root),
+            env=dict(os.environ, PYTHONPATH=pythonpath),
         ).returncode
         print(f"=== {'PASS' if rc == 0 else f'FAIL (rc={rc})'}: {name} ===",
               flush=True)
