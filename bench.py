@@ -66,7 +66,7 @@ def main() -> None:
     enable_compilation_cache()
 
     from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig
-    from mmtg_tpu.decoding import generate
+    from mmtg_tpu.decoding import generate, resolve_attn_impl
     from mmtg_tpu.models.mmtg import init_mmtg_params, mmtg_forward_infer
     from mmtg_tpu.ops.sampling import sample_next_token
     from mmtg_tpu.configs import SpecialTokens
@@ -209,7 +209,13 @@ def main() -> None:
             "dtype": args.dtype,
             "cache_dtype": args.cache_dtype,
             "weight_dtype": args.weight_dtype,
-            "attn_impl": args.attn_impl,
+            # the EFFECTIVE implementation (scope gates can silently
+            # downgrade e.g. fused -> pallas; a saved bench line must
+            # record what actually ran)
+            "attn_impl": resolve_attn_impl(
+                gcfg, mcfg.gpt2.n_embd
+            ),
+            "attn_impl_requested": args.attn_impl,
             "decode_wall_s": round(dt, 3),
             "p50_latency_s": round(dt, 3),
             "best_latency_s": round(best, 3),

@@ -180,7 +180,7 @@ class MMTGDataset:
         if (
             n > 0
             and native_tok is not None
-            and hasattr(native_tok, "pack_rows")
+            and getattr(native_tok, "supports_pack_rows", False)
             and all(len(item["lyrics"]) == 2 * seq_len for item in raw)
             and cfg.target_length == 2 * seq_len * (cfg.max_sent_length + 2) + 1
         ):

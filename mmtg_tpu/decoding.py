@@ -76,6 +76,40 @@ def _clear_cache():
 generate.clear_cache = _clear_cache
 
 
+def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
+                      tp_axis: str | None = None) -> str:
+    """The EFFECTIVE decode-attention implementation after the platform
+    and scope gates — the exact resolution ``_generate_jit`` applies.
+    Callers that *report* a configuration (bench.py JSON lines) must use
+    this, not ``gcfg.attn_impl``: e.g. ``fused`` silently falls back to
+    the per-layer kernels outside its scope (int8 split cache,
+    full-precision weights, no TP, D % 128 == 0)."""
+    attn_impl = gcfg.attn_impl
+    if attn_impl == "auto":
+        # 'axon' is the remote-TPU platform name on tunneled single chips
+        attn_impl = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        )
+    d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
+    if attn_impl == "fused" and not (
+        gcfg.cache_dtype == "int8"
+        and not gcfg.merged_kv
+        and gcfg.weight_dtype != "int8"
+        and tp_axis is None
+        and d_kv % 128 == 0
+    ):
+        # megakernel scope: int8 split cache, full-precision weights, no
+        # TP — everything else uses the per-layer kernels
+        attn_impl = "pallas"
+    if attn_impl == "pallas" and d_store % 128 != 0:
+        # Mosaic lane alignment: the decode kernel slices the cache's
+        # trailing dim, which must be a 128 multiple (D/2 when
+        # int4-packed). TP shards (D/tp) and tiny test models can violate
+        # that — fall back to the XLA path there.
+        attn_impl = "xla"
+    return attn_impl
+
+
 @partial(
     jax.jit,
     static_argnames=("mcfg", "dcfg", "gcfg", "tp_axis"),
@@ -111,30 +145,8 @@ def _generate_jit(
     V = mcfg.gpt2.vocab_size
     length = gcfg.length
     capacity = _round_up(P + length + 1, 128)
-    attn_impl = gcfg.attn_impl
-    if attn_impl == "auto":
-        # 'axon' is the remote-TPU platform name on tunneled single chips
-        attn_impl = (
-            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
-        )
-    # Mosaic lane alignment: the decode kernel slices the cache's trailing
-    # dim, which must be a 128 multiple (D/2 in int4-packed mode). TP
-    # shards (D/tp) and tiny test models can violate that — fall back to
-    # the XLA path there.
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
-    d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
-    if attn_impl == "fused" and not (
-        gcfg.cache_dtype == "int8"
-        and not gcfg.merged_kv
-        and gcfg.weight_dtype != "int8"
-        and tp_axis is None
-        and d_kv % 128 == 0
-    ):
-        # megakernel scope: int8 split cache, full-precision weights, no
-        # TP — everything else uses the per-layer kernels
-        attn_impl = "pallas"
-    if attn_impl == "pallas" and d_store % 128 != 0:
-        attn_impl = "xla"
+    attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis)
     # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
     # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
     # CLI) up to a multiple of 8 and slice the tokens back at the end.

@@ -57,9 +57,44 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.wp_vocab_size.restype = ctypes.c_int32
     lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+    lib._mmtg_has_pack_rows = _bind_pack_rows(lib)
+    if not lib._mmtg_has_pack_rows:
+        # a stale libwordpiece.so from before the packer — rebuild once and
+        # retry; if the rebuild can't happen, keep the library (the
+        # tokenizer fast path still works) with the packer disabled
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-B", "-s", "libwordpiece.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_create.argtypes = [ctypes.c_char_p]
+            lib.wp_free.argtypes = [ctypes.c_void_p]
+            lib.wp_tokenize_ids.restype = ctypes.c_int32
+            lib.wp_tokenize_ids.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ]
+            lib.wp_vocab_size.restype = ctypes.c_int32
+            lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+            lib._mmtg_has_pack_rows = _bind_pack_rows(lib)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            pass
+    return lib
+
+
+def _bind_pack_rows(lib: ctypes.CDLL) -> bool:
+    """Bind ``wp_pack_rows`` if the loaded .so exports it (a stale library
+    built before the packer doesn't — that must NOT take down the
+    still-working tokenizer fast path)."""
+    try:
+        fn = lib.wp_pack_rows
+    except AttributeError:
+        return False
     _i32p = ctypes.POINTER(ctypes.c_int32)
-    lib.wp_pack_rows.restype = ctypes.c_int32
-    lib.wp_pack_rows.argtypes = [
+    fn.restype = ctypes.c_int32
+    fn.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_char_p),  # topics
         ctypes.POINTER(ctypes.c_char_p),  # lyrics, row-major [n, n_sents]
@@ -70,7 +105,7 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
         _i32p, _i32p, _i32p,              # targets/mask/type_ids
         ctypes.c_int32,                   # n_threads (0 = auto)
     ]
-    return lib
+    return True
 
 
 def _ensure_bpe_lib() -> Optional[ctypes.CDLL]:
@@ -114,6 +149,13 @@ class NativeWordPiece:
     def vocab_size(self) -> int:
         return self._lib.wp_vocab_size(self._h)
 
+    @property
+    def supports_pack_rows(self) -> bool:
+        """False when the loaded .so predates ``wp_pack_rows`` (callers
+        fall back to the Python framing; the tokenize fast path is
+        unaffected)."""
+        return bool(getattr(self._lib, "_mmtg_has_pack_rows", False))
+
     def tokenize_to_ids(self, text: str) -> List[int]:
         n = self._lib.wp_tokenize_ids(
             self._h, text.encode("utf-8"), self._buf, len(self._buf)
@@ -142,6 +184,11 @@ class NativeWordPiece:
         ``tpw_attention_mask``, ``tpw_type_ids`` ``[n, topic_len]`` and
         ``targets``, ``attention_mask``, ``type_ids``
         ``[n, n_sents*(max_sent+2)+1]``."""
+        if not self.supports_pack_rows:
+            raise RuntimeError(
+                "loaded libwordpiece.so does not export wp_pack_rows "
+                "(stale build?) — rebuild with `make -C native -B`"
+            )
         import numpy as np
 
         n = len(topics)

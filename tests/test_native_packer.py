@@ -64,7 +64,7 @@ def _records(n=6, seq_len=5, rng=None):
 @pytest.fixture(scope="module")
 def tok_native(reference_vocab_path):
     tk = WordPieceTokenizer.from_file(reference_vocab_path, use_native=True)
-    if tk.native is None or not hasattr(tk.native, "pack_rows"):
+    if tk.native is None or not tk.native.supports_pack_rows:
         pytest.skip("native packer unavailable (no toolchain?)")
     return tk
 

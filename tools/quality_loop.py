@@ -202,7 +202,7 @@ def run(
         return {
             "bleu2": mean_std([m["bleu"]["bleu2"] for m in per_seed]),
             "distinct2": mean_std([m["distinct2"] for m in per_seed]),
-            "seed7_full": per_seed[0],
+            f"seed{seeds[0]}_full": per_seed[0],
         }
 
     report = {

@@ -80,14 +80,22 @@ def main():
     )
     args = ap.parse_args()
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    # prepend (never replace — the axon plugin rides PYTHONPATH)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     for spec in args.configs.split(","):
         impl, bb, sub = spec.split(":")
-        r = subprocess.run(
-            [sys.executable, "-c", CHILD, impl, bb, sub, str(args.runs)],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", CHILD, impl, bb, sub, str(args.runs)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"impl": impl, "block_b": int(bb),
+                              "sub_tiles": int(sub),
+                              "error": "timeout (1800s)"}), flush=True)
+            continue
         line = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if line:
             print(line[-1], flush=True)

@@ -129,6 +129,10 @@ def main():
                 f"{'OK' if line_ok else 'FAIL'}"
             )
         print("VALIDATION", "OK" if ok else "FAIL")
+        if not ok:
+            # nonzero exit so tools/validate_on_tpu.py (which judges by
+            # returncode) reports the failure
+            raise SystemExit(1)
 
     if args.skip_bench:
         return
