@@ -176,6 +176,17 @@ def main() -> None:
              "value": round(64 * g.length / dt, 1), "unit": "tok/s",
              "p50_latency_s": round(dt, 4)}
         )
+        # the canonical serving config at English scale: vocab 50257 puts
+        # 3.8x more weight on the LM-head/sampling tail than the Chinese
+        # headline — this line quantifies it
+        b512 = make_batch(rng, 512, edcfg, dtype, vocab=50257)
+        g8 = GenerateConfig(cache_dtype="int8")
+        dt = _time(lambda: _sync(generate(ep, ec, emcfg, edcfg, g8, b512, key)))
+        results.append(
+            {"config": "5b:english-clip-decode-b512-int8",
+             "value": round(512 * g8.length / dt, 1), "unit": "tok/s",
+             "p50_latency_s": round(dt, 4)}
+        )
 
     for r in results:
         print(json.dumps(r))

@@ -69,3 +69,19 @@ def tiny_data_cfg():
     from mmtg_tpu.configs import DataConfig
 
     return DataConfig(wenlan_emb_size=64)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module.
+
+    The full suite compiles hundreds of programs (many on the 8-device
+    virtual mesh); without this, the accumulated executables' host
+    resources eventually SIGABRT the process near the END of the suite
+    (observed twice at the same spot — test_zero1, alphabetically last —
+    while the same module is green standalone and in any smaller batch).
+    Per-module cache clearing bounds the accumulation; modules re-compile
+    their own programs anyway, so the wall-clock cost is negligible.
+    """
+    yield
+    jax.clear_caches()
