@@ -85,3 +85,23 @@ def _clear_jax_caches_between_modules():
     """
     yield
     jax.clear_caches()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run test_zero1 FIRST.
+
+    The full suite deterministically SIGABRTs (no C++ message) inside
+    test_zero1_step_matches_replicated[(4,2)] when that module runs LAST
+    after hundreds of compiled programs — twice at the exact same test
+    position, with jax.clear_caches() between modules making no
+    difference. The module is green standalone, green in every smaller
+    batch, and the minimal repro (pipeline+sharding+grad_accum+train+
+    zero1) flips to 44-passed when zero1 runs first, so this is a
+    cumulative jaxlib CPU-runtime host-state issue around late big
+    sharded compiles, not a numerics defect. Hoisting the module is the
+    working mitigation; drop this hook when jaxlib fixes it.
+    """
+    zero1 = [i for i in items if "test_zero1" in str(i.fspath)]
+    if zero1:
+        rest = [i for i in items if "test_zero1" not in str(i.fspath)]
+        items[:] = zero1 + rest
