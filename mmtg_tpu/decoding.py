@@ -57,15 +57,27 @@ def generate(
     gcfg: GenerateConfig,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    row_seeds: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Generate lyrics for a whole batch in one compiled program (public
     wrapper: normalizes GenerateConfig fields that don't shape the
     compiled program — seed/batch_size/n_samples — so varying them never
-    silently recompiles)."""
+    silently recompiles).
+
+    Args:
+      row_seeds: optional ``[B]`` int32 per-row seeds. When given, row
+        ``b`` samples from its own PRNG stream derived ONLY from
+        ``(rng, row_seeds[b], step)`` — so a row's tokens are identical
+        no matter which other rows share the batch (the
+        batch-composition invariance the serving layer
+        (:mod:`mmtg_tpu.serve`) relies on to re-batch concurrent
+        requests freely). ``None`` keeps the historical shared-stream
+        path bit-for-bit.
+    """
     import dataclasses
 
     gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
-    return _generate_jit(params, const, mcfg, dcfg, gcfg, batch, rng)
+    return _generate_jit(params, const, mcfg, dcfg, gcfg, batch, rng, row_seeds)
 
 
 # expose the jit cache controls (tests use clear_cache)
@@ -122,6 +134,7 @@ def _generate_jit(
     gcfg: GenerateConfig,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    row_seeds: jnp.ndarray | None = None,
     tp_axis: str | None = None,
 ) -> jnp.ndarray:
     """Generate lyrics for a whole batch in one compiled program.
@@ -130,6 +143,8 @@ def _generate_jit(
       batch: reference-keyed arrays (``topic_ids``, ``tpw_*``,
         ``topic_emb``, ``img_embs``, ``r_embs``); targets are generated.
       rng: PRNG key; one independent stream per decode step.
+      row_seeds: optional ``[B]`` int32 — per-row PRNG streams (see
+        :func:`generate`).
     Returns:
       ``[B, 1 + length]`` int32 token ids, position 0 = ``[#START#]``
       (the reference seeds generation with a bare START, ``generate.py:208-210``).
@@ -157,6 +172,10 @@ def _generate_jit(
             k: jnp.concatenate([v, jnp.zeros((pad_b,) + v.shape[1:], v.dtype)])
             for k, v in batch.items()
         }
+        if row_seeds is not None:
+            row_seeds = jnp.concatenate(
+                [row_seeds, jnp.zeros((pad_b,), row_seeds.dtype)]
+            )
         B = orig_B + pad_b
 
     # ---- encoder runs ONCE (the reference re-runs it per token) ----------
@@ -240,11 +259,24 @@ def _generate_jit(
     win = dcfg.two_sents_length
     T_steps = fused.shape[1]
 
+    # Per-row streams: key(b, i) = fold_in(fold_in(rng, row_seeds[b]), i)
+    # depends on nothing batch-shaped, so a row's sample path is invariant
+    # to which other rows got batched with it (serving re-batches freely).
+    row_keys = (
+        None
+        if row_seeds is None
+        else jax.vmap(lambda s: jax.random.fold_in(rng, s))(row_seeds)
+    )
+
     def step(carry, i, window):
         cache, key_mask, tokens, seen, last_logits = carry
         # --- choose token for target position j = i + 1 ---
         is_forced, forced_id = frame_forced_token(i, dcfg.sent_frame_length)
-        step_rng = jax.random.fold_in(rng, i)
+        step_rng = (
+            jax.random.fold_in(rng, i)
+            if row_keys is None
+            else jax.vmap(lambda k: jax.random.fold_in(k, i))(row_keys)
+        )
         last_token = jax.lax.dynamic_slice(tokens, (0, i), (B, 1))[:, 0]
         sampled = sample_next_token(
             step_rng,
@@ -256,6 +288,7 @@ def _generate_jit(
             top_p=gcfg.top_p,
             repetition_penalty=gcfg.repetition_penalty,
             topk_impl=gcfg.topk_impl,
+            per_row_keys=row_keys is not None,
         )
         tok = jnp.where(is_forced, forced_id, sampled)  # [B]
         j = i + 1
@@ -414,6 +447,7 @@ def generate_sharded(
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
     mesh,
+    row_seeds: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Data×tensor-parallel generation over a device mesh.
 
@@ -426,6 +460,13 @@ def generate_sharded(
     loop's dominant HBM traffic) shrinks by the TP factor. The reference's
     only scale-out is single-process ``nn.DataParallel``
     (``generate.py:191``).
+
+    With ``row_seeds`` (``[B]`` int32, sharded over the data axis) each
+    row samples from a stream derived only from ``(rng, row_seeds[b],
+    step)`` — no data-axis fold — so tokens are identical to the
+    single-device :func:`generate` row for row and invariant to mesh
+    shape: the serving layer scales over a mesh without changing any
+    response.
     """
     import dataclasses
 
@@ -442,37 +483,60 @@ def generate_sharded(
     tp = mesh.shape[MODEL_AXIS]
     batch_spec = {k: P(DATA_AXIS) for k in batch}
     if tp == 1:
-        def local_generate(params, const, batch, rng):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-            return generate(params, const, mcfg, dcfg, gcfg, batch, rng)
+        def local_generate(params, const, batch, rng, row_seeds=None):
+            if row_seeds is None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            return generate(params, const, mcfg, dcfg, gcfg, batch, rng,
+                            row_seeds=row_seeds)
 
+        if row_seeds is None:
+            fn = shard_map(
+                local_generate,
+                mesh=mesh,
+                in_specs=(P(), P(), batch_spec, P()),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+            return fn(params, const, batch, rng)
         fn = shard_map(
             local_generate,
             mesh=mesh,
-            in_specs=(P(), P(), batch_spec, P()),
+            in_specs=(P(), P(), batch_spec, P(), P(DATA_AXIS)),
             out_specs=P(DATA_AXIS),
             check_vma=False,
         )
-        return fn(params, const, batch, rng)
+        return fn(params, const, batch, rng, row_seeds)
 
     # --- DP × TP ---------------------------------------------------------
     gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
     params = tp_decode_params(params, mcfg.gpt2.n_head, mcfg.gpt2.head_dim, tp)
     pspecs = decode_param_pspecs(params)
 
-    def local_generate_tp(params, const, batch, rng):
+    def local_generate_tp(params, const, batch, rng, row_seeds=None):
         # same rng for all model shards of a data slice (they must sample
-        # identical tokens); independent per data shard
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        # identical tokens); independent per data shard — via the data-axis
+        # fold, or per-row streams when row_seeds drive the sampling
+        if row_seeds is None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         return _generate_jit(
-            params, const, mcfg, dcfg, gcfg, batch, rng, tp_axis=MODEL_AXIS
+            params, const, mcfg, dcfg, gcfg, batch, rng, row_seeds,
+            tp_axis=MODEL_AXIS,
         )
 
+    if row_seeds is None:
+        fn = shard_map(
+            local_generate_tp,
+            mesh=mesh,
+            in_specs=(pspecs, P(), batch_spec, P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+        return fn(params, const, batch, rng)
     fn = shard_map(
         local_generate_tp,
         mesh=mesh,
-        in_specs=(pspecs, P(), batch_spec, P()),
+        in_specs=(pspecs, P(), batch_spec, P(), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )
-    return fn(params, const, batch, rng)
+    return fn(params, const, batch, rng, row_seeds)

@@ -112,6 +112,7 @@ def sample_next_token(
     top_p: float = 0.0,
     repetition_penalty: float = 1.0,
     topk_impl: str = "exact",
+    per_row_keys: bool = False,
 ) -> jnp.ndarray:
     """One full sampling step over a batch (``generate.py:124-142`` order).
 
@@ -132,9 +133,17 @@ def sample_next_token(
         partial-reduce top-k; candidates are exact-top-k-aggregated and
         sorted, but ~1% of true top-k entries may be swapped for
         near-ties, a measurable-but-tiny sampling perturbation).
+      per_row_keys: when True, ``key`` is a ``[B]`` batch of PRNG keys
+        and each row draws from its own stream (batch-composition-
+        invariant sampling for the serving layer); default False keeps
+        the historical single-key draw bit-for-bit.
     Returns:
       ``[B]`` int32 sampled token ids.
     """
+    if per_row_keys:
+        draw = jax.vmap(lambda k, l: jax.random.categorical(k, l, axis=-1))
+    else:
+        draw = lambda k, l: jax.random.categorical(k, l, axis=-1)  # noqa: E731
     if repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, seen_counts, repetition_penalty)
     logits = logits / temperature
@@ -150,11 +159,11 @@ def sample_next_token(
             vals, idx = jax.lax.top_k(logits, k)  # descending, ties by index
         if top_p > 0.0:
             vals = _nucleus_mask_sorted(vals, top_p)
-        j = jax.random.categorical(key, vals, axis=-1)
+        j = draw(key, vals)
         sampled = jnp.take_along_axis(idx, j[:, None], axis=-1)[:, 0].astype(jnp.int32)
     else:
         filtered = top_k_top_p_filter(logits, top_k=top_k, top_p=top_p)
-        sampled = jax.random.categorical(key, filtered, axis=-1).astype(jnp.int32)
+        sampled = draw(key, filtered).astype(jnp.int32)
     return jnp.where(last_token == SPECIAL.pad_id, SPECIAL.pad_id, sampled)
 
 

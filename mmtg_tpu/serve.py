@@ -1,0 +1,522 @@
+"""Production serving layer: window-batching generation service + HTTP front.
+
+The reference's only interactive path is the ``predict.py`` REPL, batch 1
+by its own admission (``predict.py:76`` "batch size 1 for now - could be
+updated for more but the code would be less clear"; the loop at
+``predict.py:215-226`` serves one user index at a time with 220 full
+re-forwards per token). This module is that "updated for more": a service
+that collects concurrent generation requests into padded fixed-shape
+batches and decodes each batch in ONE compiled program
+(:func:`mmtg_tpu.decoding.generate`).
+
+Design (TPU-first — see docs/PERF.md for the measurements behind each):
+
+* **Window batching, not per-token continuous batching.** On this platform
+  a host→device dispatch costs ~30-40 ms (the tunnel dispatch floor), so a
+  per-token host loop with slot refills would pay that floor 220× per
+  request; one fixed-length ``lax.scan`` per window pays it once. Requests
+  arriving while a window decodes queue for the next window, and windows
+  are DOUBLE-BUFFERED: device dispatch is async, so the batcher packs and
+  launches window N+1 while window N decodes and a collector thread
+  resolves futures as results land. The measured batch/latency curve
+  (docs/PERF.md "Serving") sets the bucket menu.
+* **Fixed batch buckets.** Each request batch is padded up to the smallest
+  configured bucket, so every shape the service ever runs compiles once
+  (and persists across restarts via the compilation cache).
+* **Per-request PRNG streams** (``decoding.generate(row_seeds=...)``): a
+  request's tokens depend only on ``(service base seed, request seed)`` —
+  NOT on which other requests share its batch — so the batcher groups
+  requests freely without changing anyone's output, and a client can
+  replay any response deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig
+
+# the reference-keyed per-sample arrays a request must carry
+# (MyDataset.py test rows; same keys generate.py's replicate_batch stacks)
+SAMPLE_KEYS = (
+    "topic_ids",
+    "tpw_attention_mask",
+    "tpw_type_ids",
+    "topic_emb",
+    "img_embs",
+    "r_embs",
+)
+_FLOAT_KEYS = ("topic_emb", "img_embs", "r_embs")
+
+
+@dataclass
+class _Pending:
+    sample: Dict[str, np.ndarray]
+    seed: int
+    future: Future
+    t_submit: float = field(default_factory=time.monotonic)
+
+
+class GenerationService:
+    """Threaded window-batching front over the compiled decode engine.
+
+    Args:
+      params/const/mcfg/dcfg/gcfg: exactly what :func:`decoding.generate`
+        takes; ``gcfg`` is service-wide (sampling hyperparameters are
+        static under jit — per-request overrides would recompile, so the
+        canonical ``generate.sh:10-14`` config is fixed at service start).
+      buckets: ascending batch sizes to pad to; each compiles once.
+      max_wait_ms: how long the batcher holds an open window for
+        stragglers after the first request arrives. 0 = dispatch
+        immediately (lowest latency, worst fill).
+      base_seed: service-wide PRNG base; together with the per-request
+        ``seed`` it fully determines a response.
+      mesh: optional ``jax.sharding.Mesh`` — batches decode DP×TP over it
+        via :func:`decoding.generate_sharded`. Per-request streams make
+        responses identical to single-device serving token-for-token
+        (``tests/test_serve.py``), so scaling out never changes outputs.
+    """
+
+    def __init__(
+        self,
+        params,
+        const,
+        mcfg: ModelConfig,
+        dcfg: DataConfig,
+        gcfg: GenerateConfig,
+        buckets: Sequence[int] = (8, 16, 32, 64),
+        max_wait_ms: float = 25.0,
+        base_seed: int = 0,
+        mesh=None,
+    ):
+        if list(buckets) != sorted(set(int(b) for b in buckets)) or not buckets:
+            raise ValueError(f"buckets must be ascending and unique: {buckets}")
+        if mesh is not None:
+            from mmtg_tpu.parallel.mesh import DATA_AXIS
+
+            dp = mesh.shape[DATA_AXIS]
+            bad = [b for b in buckets if b % dp]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh data axis ({dp})"
+                )
+        self.mesh = mesh
+        self.params = params
+        self.const = const
+        self.mcfg = mcfg
+        self.dcfg = dcfg
+        self.gcfg = gcfg
+        self.buckets = tuple(int(b) for b in buckets)
+        self.max_wait_ms = float(max_wait_ms)
+        self._rng = jax.random.PRNGKey(base_seed)
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        # dispatched-but-uncollected windows; maxsize bounds device
+        # in-flight work to 2 windows (device dispatch is async on the
+        # TPU runtime — the batcher packs window N+1 while N decodes)
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
+        self._thread: Optional[threading.Thread] = None
+        self._collector: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "batches": 0,
+            "padded_rows": 0,
+            "errors": 0,
+        }
+        self._latencies_ms: list[float] = []
+
+    # ---- lifecycle -------------------------------------------------------
+
+    def start(self) -> "GenerationService":
+        if self._thread is not None:
+            raise RuntimeError("service already started")
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mmtg-batcher")
+        self._collector = threading.Thread(target=self._collect_loop,
+                                           daemon=True, name="mmtg-collector")
+        self._thread.start()
+        self._collector.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is None:
+            return
+        self._queue.put(None)
+        self._thread.join()
+        self._collector.join()
+        self._thread = self._collector = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def warmup(self, bucket: Optional[int] = None) -> None:
+        """Compile ahead of traffic: run one synthetic batch per bucket
+        (or just ``bucket``). With the persistent compilation cache wired
+        in (every CLI calls ``enable_compilation_cache``) this is a cache
+        read after the first service start."""
+        sizes = self.buckets if bucket is None else (bucket,)
+        sample = self._synthetic_sample()
+        for b in sizes:
+            batch, seeds = self._pack([_Pending(sample, 0, Future())] * 1, b)
+            toks = self._decode(batch, seeds)
+            # sync via a device->host transfer: on the axon platform
+            # block_until_ready returns at DISPATCH, which would let the
+            # remote compile ride into the first real request (measured:
+            # a "4 s warmup" followed by a 68 s first request)
+            float(jnp.sum(toks[:1]))
+
+    # ---- client API ------------------------------------------------------
+
+    def submit(self, sample: Dict[str, np.ndarray], seed: int) -> Future:
+        """Enqueue one sample; resolves to ``[1 + length]`` int32 tokens."""
+        self._validate(sample)
+        if self._thread is None:
+            raise RuntimeError("service not started")
+        fut: Future = Future()
+        self._queue.put(_Pending({k: np.asarray(sample[k]) for k in SAMPLE_KEYS},
+                                 int(seed), fut))
+        with self._lock:
+            self._stats["requests"] += 1
+        return fut
+
+    def generate_sync(self, sample, seed: int, timeout: float = 600.0):
+        return self.submit(sample, seed).result(timeout=timeout)
+
+    def swap_params(self, new_params) -> None:
+        """Hot-swap model weights with ZERO recompiles (identical
+        shapes/dtypes hit every already-compiled bucket program — jit
+        caches on abstract values, not weight identity). The window
+        currently decoding finishes on the old weights; the next window
+        sees the new ones (the batcher reads ``self.params`` once per
+        window, and the swap is one atomic rebind)."""
+        new_params = jax.tree.map(jnp.asarray, new_params)
+        old = jax.tree.map(lambda x: x.shape, self.params)
+        new = jax.tree.map(lambda x: x.shape, new_params)
+        if old != new:
+            raise ValueError(
+                "new params do not match the serving model's tree/shapes — "
+                "a different architecture needs a new service"
+            )
+        # cast to the serving dtypes: f32 checkpoints into a bf16 serving
+        # model is the normal flow, and matching dtypes is what makes the
+        # swap recompile-free
+        self.params = jax.tree.map(
+            lambda n, o: n.astype(o.dtype), new_params, self.params
+        )
+
+    def stats(self) -> Dict:
+        with self._lock:
+            out = dict(self._stats)
+            lat = sorted(self._latencies_ms)
+        n_b = max(out["batches"], 1)
+        out["mean_fill"] = out["requests"] / max(
+            out["requests"] + out["padded_rows"], 1
+        )
+        out["mean_batch"] = out["requests"] / n_b
+        if lat:
+            out["p50_latency_ms"] = lat[len(lat) // 2]
+            out["p95_latency_ms"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+        return out
+
+    # ---- internals -------------------------------------------------------
+
+    def _validate(self, sample: Dict) -> None:
+        missing = [k for k in SAMPLE_KEYS if k not in sample]
+        if missing:
+            raise ValueError(f"sample missing keys: {missing}")
+        for k in SAMPLE_KEYS:
+            arr = np.asarray(sample[k])
+            if k == "topic_ids" and arr.shape != (self.dcfg.topic_prompt_length,):
+                raise ValueError(
+                    f"topic_ids shape {arr.shape} != "
+                    f"({self.dcfg.topic_prompt_length},)"
+                )
+
+    def _synthetic_sample(self) -> Dict[str, np.ndarray]:
+        d, dcfg, m = {}, self.dcfg, self.mcfg
+        P = dcfg.topic_prompt_length
+        d["topic_ids"] = np.zeros((P,), np.int32)
+        d["tpw_attention_mask"] = np.ones((P,), np.int32)
+        d["tpw_type_ids"] = np.zeros((P,), np.int32)
+        d["topic_emb"] = np.zeros((m.topic.input_dim,), np.float32)
+        d["img_embs"] = np.zeros((m.seq_len, m.image.input_dim), np.float32)
+        d["r_embs"] = np.zeros((m.seq_len, m.text.input_dim), np.float32)
+        return d
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _pack(
+        self, reqs: Sequence[_Pending], bucket: int
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+        """Stack request samples and pad to ``bucket`` rows (pad rows
+        repeat row 0 with seed 0; their outputs are dropped at demux)."""
+        pad = bucket - len(reqs)
+        rows = list(reqs) + [reqs[0]] * pad
+        batch = {}
+        for k in SAMPLE_KEYS:
+            dt = np.float32 if k in _FLOAT_KEYS else np.int32
+            batch[k] = jnp.asarray(
+                np.stack([np.asarray(r.sample[k], dt) for r in rows])
+            )
+        seeds = jnp.asarray([r.seed for r in reqs] + [0] * pad, jnp.int32)
+        return batch, seeds
+
+    def _decode(self, batch, seeds):
+        if self.mesh is not None:
+            from mmtg_tpu.decoding import generate_sharded
+
+            return generate_sharded(self.params, self.const, self.mcfg,
+                                    self.dcfg, self.gcfg, batch, self._rng,
+                                    self.mesh, row_seeds=seeds)
+        from mmtg_tpu.decoding import generate
+
+        return generate(self.params, self.const, self.mcfg, self.dcfg,
+                        self.gcfg, batch, self._rng, row_seeds=seeds)
+
+    def _loop(self) -> None:
+        """Dispatch loop: form a window, pack, dispatch the compiled decode
+        and hand the in-flight device result to the collector. On the TPU
+        runtime dispatch returns immediately, so window N+1 packs and
+        launches while window N still decodes (the ``_inflight`` maxsize
+        bounds device queueing to 2 windows); the collector owns the
+        blocking device→host transfer and future resolution."""
+        while True:
+            first = self._queue.get()
+            if first is None:
+                self._inflight.put(None)
+                return
+            reqs = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            while len(reqs) < self.buckets[-1]:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    # drain stop sentinel AFTER serving what we have
+                    self._queue.put(None)
+                    break
+                reqs.append(nxt)
+            bucket = self._bucket_for(len(reqs))
+            try:
+                batch, seeds = self._pack(reqs, bucket)
+                tokens = self._decode(batch, seeds)  # async on TPU
+            except Exception as e:  # pragma: no cover - defensive
+                with self._lock:
+                    self._stats["errors"] += 1
+                for r in reqs:
+                    r.future.set_exception(e)
+                continue
+            self._inflight.put((reqs, bucket, tokens))
+
+    def _collect_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            reqs, bucket, tokens = item
+            try:
+                tokens = np.asarray(tokens)  # blocks until decode done
+            except Exception as e:  # pragma: no cover - defensive
+                with self._lock:
+                    self._stats["errors"] += 1
+                for r in reqs:
+                    r.future.set_exception(e)
+                continue
+            now = time.monotonic()
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["padded_rows"] += bucket - len(reqs)
+                self._latencies_ms.extend(
+                    (now - r.t_submit) * 1e3 for r in reqs
+                )
+                del self._latencies_ms[:-1000]
+            for i, r in enumerate(reqs):
+                r.future.set_result(tokens[i])
+
+
+# ---- HTTP front -----------------------------------------------------------
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # quiet the default per-request stderr lines
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    def _json(self, code: int, payload: Dict) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        svc: GenerationService = self.server.service  # type: ignore[attr-defined]
+        if self.path == "/healthz":
+            self._json(200, {"ok": True})
+        elif self.path == "/stats":
+            self._json(200, svc.stats())
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        svc: GenerationService = self.server.service  # type: ignore[attr-defined]
+        if self.path == "/reload":
+            # checkpoint hot-swap: in-flight windows finish on the old
+            # weights, the next window serves the new ones; no recompiles
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                from mmtg_tpu.generate import load_params
+
+                svc.swap_params(load_params(req["model_path"], svc.mcfg))
+                self._json(200, {"ok": True, "model_path": req["model_path"]})
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError, FileNotFoundError) as e:
+                self._json(400, {"error": str(e)})
+            return
+        if self.path != "/generate":
+            self._json(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            sample = {k: np.asarray(v) for k, v in req["sample"].items()}
+            seed = int(req.get("seed", 0))
+            t0 = time.monotonic()
+            tokens = svc.generate_sync(sample, seed,
+                                       timeout=float(req.get("timeout", 600)))
+            out = {
+                "tokens": np.asarray(tokens).tolist(),
+                "seed": seed,
+                "latency_ms": (time.monotonic() - t0) * 1e3,
+            }
+            tok = getattr(self.server, "tokenizer", None)
+            if tok is not None and req.get("text", True):
+                from mmtg_tpu.decoding import postprocess_tokens
+
+                out["text"] = postprocess_tokens(tokens, tok)
+            self._json(200, out)
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # pragma: no cover - defensive
+            self._json(500, {"error": str(e)})
+
+
+def serve_http(
+    service: GenerationService,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    tokenizer=None,
+) -> ThreadingHTTPServer:
+    """Bind the HTTP front (caller runs ``serve_forever``, possibly in a
+    thread). ``port=0`` binds an ephemeral port (tests)."""
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.service = service  # type: ignore[attr-defined]
+    httpd.tokenizer = tokenizer  # type: ignore[attr-defined]
+    return httpd
+
+
+# ---- CLI ------------------------------------------------------------------
+
+
+def build_arg_parser():
+    import argparse
+
+    from mmtg_tpu.generate import build_arg_parser as gen_parser
+
+    p = gen_parser()
+    p.description = "MMTG TPU generation server"
+    p.add_argument("--host", default="127.0.0.1", type=str)
+    p.add_argument("--port", default=8000, type=int)
+    p.add_argument("--buckets", default="8,16,32,64", type=str,
+                   help="ascending batch buckets; each compiles once")
+    p.add_argument("--max_wait_ms", default=25.0, type=float,
+                   help="window the batcher holds open for stragglers")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip compile-ahead of every bucket at startup")
+    return p
+
+
+def main(argv=None, mcfg: ModelConfig | None = None,
+         dcfg: DataConfig | None = None) -> None:
+    args = build_arg_parser().parse_args(argv)
+    from mmtg_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    from mmtg_tpu.bpe import load_tokenizer
+    from mmtg_tpu.data import load_token_embedding_table
+    from mmtg_tpu.generate import load_params
+    from mmtg_tpu.utils.logging import setup_logger
+
+    logger = setup_logger()
+    tokenizer = load_tokenizer(args.tokenizer_path)
+    if mcfg is None or dcfg is None:
+        if args.variant == "english":
+            from mmtg_tpu.configs import english_variant
+
+            mcfg, dcfg = english_variant(clip_dim=args.clip_dim,
+                                         gpt2_vocab=len(tokenizer))
+        else:
+            mcfg, dcfg = ModelConfig(), DataConfig()
+    gcfg = GenerateConfig(
+        temperature=args.temperature,
+        top_k=args.topk,
+        top_p=args.topp,
+        repetition_penalty=args.repetition_penalty,
+        length=dcfg.max_seq_length,
+        type_id_scheme=args.type_id_scheme,
+        cache_dtype=args.cache_dtype,
+        weight_dtype=args.weight_dtype,
+        topk_impl=args.topk_impl,
+        attn_impl=args.attn_impl,
+    )
+    params = load_params(args.model_path, mcfg)
+    table = jnp.asarray(load_token_embedding_table(
+        args.token_emb_path, len(tokenizer), dcfg.wenlan_emb_size))
+    service = GenerationService(
+        params, {"wenlan_table": table}, mcfg, dcfg, gcfg,
+        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        max_wait_ms=args.max_wait_ms,
+        base_seed=args.seed,
+    ).start()
+    if not args.no_warmup:
+        logger.info("Warming up buckets %s ...", args.buckets)
+        service.warmup()
+    httpd = serve_http(service, args.host, args.port, tokenizer=tokenizer)
+    logger.info("Serving on http://%s:%d (buckets %s, window %.0f ms)",
+                args.host, httpd.server_address[1], args.buckets,
+                args.max_wait_ms)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        service.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Serving layer: window batching, per-request PRNG invariance, HTTP front.
+
+The property under test is the serving contract (serve.py module
+docstring): a request's tokens depend only on (service base seed, request
+seed) — never on which other requests shared its batch or how the batch
+was padded — which is what lets the batcher group concurrent traffic
+freely. The reference has no batched serving at all (``predict.py:76``
+"batch size 1 for now").
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from mmtg_tpu.configs import GenerateConfig
+from mmtg_tpu.decoding import generate
+from mmtg_tpu.models.mmtg import init_mmtg_params
+from mmtg_tpu.serve import GenerationService, serve_http
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def serve_setup(request):
+    mcfg = request.getfixturevalue("tiny_model_cfg")
+    dcfg = request.getfixturevalue("tiny_data_cfg")
+    tokenizer = request.getfixturevalue("tokenizer")
+    rng = np.random.default_rng(13)
+    from mmtg_tpu.data import MMTGDataset, make_synthetic_records
+
+    records = make_synthetic_records(4, rng, emb_size=dcfg.wenlan_emb_size)
+    ds = MMTGDataset.from_records(records, tokenizer, dcfg, if_train=False)
+    V = mcfg.gpt2.vocab_size
+    samples = []
+    for i in range(len(ds)):
+        row = {k: np.asarray(v) for k, v in ds[i].items()}
+        row["topic_ids"] = np.minimum(row["topic_ids"], V - 1)
+        samples.append(row)
+    params = init_mmtg_params(jax.random.PRNGKey(3), mcfg)
+    table = jax.random.normal(jax.random.PRNGKey(4), (V, dcfg.wenlan_emb_size))
+    const = {"wenlan_table": table}
+    gcfg = GenerateConfig(length=46, top_k=8, top_p=0.7, temperature=1.1,
+                          repetition_penalty=1.5)
+    return params, const, mcfg, dcfg, gcfg, samples
+
+
+def _direct(params, const, mcfg, dcfg, gcfg, samples, seeds, base_seed=0):
+    from mmtg_tpu.serve import SAMPLE_KEYS
+
+    batch = {
+        k: jnp.asarray(np.stack([s[k] for s in samples]))
+        for k in SAMPLE_KEYS
+    }
+    return np.asarray(
+        generate(params, const, mcfg, dcfg, gcfg, batch,
+                 jax.random.PRNGKey(base_seed),
+                 row_seeds=jnp.asarray(seeds, jnp.int32))
+    )
+
+
+def test_row_seeds_batch_composition_invariance(serve_setup):
+    """Engine-level: a (sample, seed) row decodes identically alone, in a
+    different batch order, and next to different neighbors."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    a, b, c = samples[0], samples[1], samples[2]
+    ab = _direct(params, const, mcfg, dcfg, gcfg, [a, b], [7, 8])
+    cba = _direct(params, const, mcfg, dcfg, gcfg, [c, b, a], [9, 8, 7])
+    solo = _direct(params, const, mcfg, dcfg, gcfg, [a], [7])
+    np.testing.assert_array_equal(ab[0], cba[2])
+    np.testing.assert_array_equal(ab[1], cba[1])
+    np.testing.assert_array_equal(ab[0], solo[0])
+
+
+def test_row_seeds_distinct_streams(serve_setup):
+    """Same sample, different seeds → different sampled tokens (and the
+    frame grid still holds on every row)."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    out = _direct(params, const, mcfg, dcfg, gcfg,
+                  [samples[0]] * 3, [1, 2, 1])
+    np.testing.assert_array_equal(out[0], out[2])
+    assert (out[0] != out[1]).any()
+    from mmtg_tpu.configs import SpecialTokens
+
+    sp = SpecialTokens()
+    for k in range(out.shape[1] // 22):
+        assert (out[:, 22 * k] == sp.start_id).all()
+
+
+def test_service_batches_and_matches_direct(serve_setup):
+    """Concurrent submits get merged into one padded bucket and each
+    response equals the direct engine run for its (sample, seed)."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(4,), max_wait_ms=2000.0, base_seed=0)
+    with svc:
+        futs = [svc.submit(samples[i], seed=100 + i) for i in range(3)]
+        got = [f.result(timeout=600) for f in futs]
+    direct = _direct(params, const, mcfg, dcfg, gcfg,
+                     samples[:3], [100, 101, 102])
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], direct[i])
+    st = svc.stats()
+    assert st["requests"] == 3
+    assert st["batches"] == 1  # one window, padded 3 -> 4
+    assert st["padded_rows"] == 1
+    assert st["p50_latency_ms"] > 0
+
+
+def test_service_solo_equals_batched(serve_setup):
+    """The serving contract end-to-end: the same request returns identical
+    tokens whether it was served alone or batched with others."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2, 4), max_wait_ms=1500.0, base_seed=0)
+    with svc:
+        batched = [svc.submit(samples[i], seed=5) for i in range(3)]
+        batched = [f.result(timeout=600) for f in batched]
+    svc2 = GenerationService(params, const, mcfg, dcfg, gcfg,
+                             buckets=(2, 4), max_wait_ms=0.0, base_seed=0)
+    with svc2:
+        solo = svc2.generate_sync(samples[0], seed=5)
+    np.testing.assert_array_equal(batched[0], solo)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2)])
+def test_mesh_service_matches_single_device(serve_setup, mesh_shape):
+    """Serving over a DP / DP×TP mesh returns token-identical responses to
+    single-device serving — scaling out never changes a reply (per-row
+    streams skip the data-axis rng fold)."""
+    from mmtg_tpu.parallel.mesh import make_mesh
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    single = GenerationService(params, const, mcfg, dcfg, gcfg,
+                               buckets=(4,), max_wait_ms=1500.0, base_seed=0)
+    with single:
+        futs = [single.submit(samples[i], seed=50 + i) for i in range(3)]
+        want = [f.result(timeout=600) for f in futs]
+    mesh = make_mesh(mesh_shape)
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(4,), max_wait_ms=1500.0, base_seed=0,
+                            mesh=mesh)
+    with svc:
+        futs = [svc.submit(samples[i], seed=50 + i) for i in range(3)]
+        got = [f.result(timeout=600) for f in futs]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+
+def test_mesh_service_rejects_indivisible_buckets(serve_setup):
+    from mmtg_tpu.parallel.mesh import make_mesh
+
+    params, const, mcfg, dcfg, gcfg, _ = serve_setup
+    with pytest.raises(ValueError, match="not divisible"):
+        GenerationService(params, const, mcfg, dcfg, gcfg,
+                          buckets=(2, 4), mesh=make_mesh((4, 1)))
+
+
+def test_service_validates_samples(serve_setup):
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg, buckets=(2,))
+    bad = dict(samples[0])
+    bad.pop("topic_emb")
+    with pytest.raises(ValueError, match="missing keys"):
+        svc._validate(bad)
+    bad2 = dict(samples[0])
+    bad2["topic_ids"] = bad2["topic_ids"][:-1]
+    with pytest.raises(ValueError, match="topic_ids shape"):
+        svc._validate(bad2)
+
+
+def test_swap_params_hot_reload(serve_setup):
+    """Weight hot-swap: same compiled programs, new outputs, next window;
+    mismatched trees are rejected."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    with svc:
+        before = svc.generate_sync(samples[0], seed=3)
+        other = init_mmtg_params(jax.random.PRNGKey(99), mcfg)
+        svc.swap_params(other)
+        after = svc.generate_sync(samples[0], seed=3)
+        again = svc.generate_sync(samples[0], seed=3)
+    assert (np.asarray(before) != np.asarray(after)).any()
+    np.testing.assert_array_equal(after, again)  # still deterministic
+    bad = {k: v for k, v in params.items() if k != "projector1"}
+    with pytest.raises(ValueError, match="do not match"):
+        svc.swap_params(bad)
+
+
+def test_http_front(serve_setup, tokenizer):
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    with svc:
+        httpd = serve_http(svc, port=0, tokenizer=tokenizer)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                assert json.loads(r.read()) == {"ok": True}
+
+            body = json.dumps({
+                "sample": {k: np.asarray(v).tolist()
+                           for k, v in samples[0].items()},
+                "seed": 5,
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            direct = _direct(params, const, mcfg, dcfg, gcfg,
+                             [samples[0]], [5])
+            np.testing.assert_array_equal(np.asarray(out["tokens"]), direct[0])
+            assert "text" in out and isinstance(out["text"], str)
+
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"sample": {}}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code == 400
+            assert raised
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as r:
+                st = json.loads(r.read())
+            assert st["requests"] >= 1 and st["batches"] >= 1
+        finally:
+            httpd.shutdown()
