@@ -133,8 +133,11 @@ class GenerationService:
             "batches": 0,
             "padded_rows": 0,
             "errors": 0,
+            "cancelled": 0,
+            "tokens_served": 0,
         }
         self._latencies_ms: list[float] = []
+        self._t_start = time.monotonic()
 
     # ---- lifecycle -------------------------------------------------------
 
@@ -235,10 +238,13 @@ class GenerationService:
             out = dict(self._stats)
             lat = sorted(self._latencies_ms)
         n_b = max(out["batches"], 1)
-        out["mean_fill"] = out["requests"] / max(
-            out["requests"] + out["padded_rows"], 1
+        served = out["requests"] - out["cancelled"]
+        out["mean_fill"] = served / max(served + out["padded_rows"], 1)
+        out["mean_batch"] = served / n_b
+        out["uptime_s"] = round(time.monotonic() - self._t_start, 1)
+        out["tokens_per_s"] = round(
+            out["tokens_served"] / max(out["uptime_s"], 1e-9), 1
         )
-        out["mean_batch"] = out["requests"] / n_b
         if lat:
             out["p50_latency_ms"] = lat[len(lat) // 2]
             out["p95_latency_ms"] = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
@@ -313,6 +319,17 @@ class GenerationService:
         while True:
             first = self._queue.get()
             if first is None:
+                # graceful drain: anything still queued after the stop
+                # sentinel fails loudly instead of hanging its client
+                while True:
+                    try:
+                        left = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if left is not None:
+                        left.future.set_exception(
+                            RuntimeError("service stopped before decoding")
+                        )
                 self._inflight.put(None)
                 return
             reqs = [first]
@@ -330,6 +347,16 @@ class GenerationService:
                     self._queue.put(None)
                     break
                 reqs.append(nxt)
+            # honor client-side cancellation of still-queued requests (a
+            # running window is never interrupted — its slots are shared)
+            live = [r for r in reqs
+                    if r.future.set_running_or_notify_cancel()]
+            if len(live) != len(reqs):
+                with self._lock:
+                    self._stats["cancelled"] += len(reqs) - len(live)
+            reqs = live
+            if not reqs:
+                continue
             bucket = self._bucket_for(len(reqs))
             try:
                 batch, seeds = self._pack(reqs, bucket)
@@ -360,6 +387,9 @@ class GenerationService:
             with self._lock:
                 self._stats["batches"] += 1
                 self._stats["padded_rows"] += bucket - len(reqs)
+                self._stats["tokens_served"] += len(reqs) * (
+                    tokens.shape[1] - 1
+                )  # position 0 is the seeded [#START#], not generated
                 self._latencies_ms.extend(
                     (now - r.t_submit) * 1e3 for r in reqs
                 )

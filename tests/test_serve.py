@@ -173,6 +173,45 @@ def test_service_validates_samples(serve_setup):
         svc._validate(bad2)
 
 
+def test_cancelled_request_is_skipped(serve_setup):
+    """A request cancelled while queued never decodes; batch-mates are
+    unaffected (and still match the direct run of just themselves)."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2, 4), max_wait_ms=1500.0, base_seed=0)
+    with svc:
+        f_keep = svc.submit(samples[0], seed=40)
+        f_cancel = svc.submit(samples[1], seed=41)
+        assert f_cancel.cancel()
+        kept = f_keep.result(timeout=600)
+    import concurrent.futures
+
+    with pytest.raises(concurrent.futures.CancelledError):
+        f_cancel.result(timeout=1)
+    direct = _direct(params, const, mcfg, dcfg, gcfg, [samples[0]], [40])
+    np.testing.assert_array_equal(kept, direct[0])
+    assert svc.stats()["cancelled"] == 1
+
+
+def test_stop_serves_already_submitted_requests(serve_setup):
+    """stop() is a graceful drain: everything submitted before it still
+    resolves (the sentinel sits behind the queued work)."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(4,), max_wait_ms=500.0, base_seed=0)
+    svc.start()
+    futs = [svc.submit(samples[i], seed=60 + i) for i in range(3)]
+    svc.stop()  # joins both threads
+    got = [f.result(timeout=1) for f in futs]
+    direct = _direct(params, const, mcfg, dcfg, gcfg,
+                     samples[:3], [60, 61, 62])
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], direct[i])
+    st = svc.stats()
+    assert st["tokens_served"] == 3 * gcfg.length
+    assert st["tokens_per_s"] > 0
+
+
 def test_swap_params_hot_reload(serve_setup):
     """Weight hot-swap: same compiled programs, new outputs, next window;
     mismatched trees are rejected."""
