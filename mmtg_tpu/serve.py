@@ -60,6 +60,12 @@ SAMPLE_KEYS = (
 _FLOAT_KEYS = ("topic_emb", "img_embs", "r_embs")
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by submit() when the request queue is at max_queue_depth —
+    shed load at the edge (HTTP 503) instead of growing an unbounded
+    host-side backlog."""
+
+
 @dataclass
 class _Pending:
     sample: Dict[str, np.ndarray]
@@ -99,6 +105,7 @@ class GenerationService:
         max_wait_ms: float = 25.0,
         base_seed: int = 0,
         mesh=None,
+        max_queue_depth: int = 4096,
     ):
         if list(buckets) != sorted(set(int(b) for b in buckets)) or not buckets:
             raise ValueError(f"buckets must be ascending and unique: {buckets}")
@@ -120,6 +127,7 @@ class GenerationService:
         self.buckets = tuple(int(b) for b in buckets)
         self.max_wait_ms = float(max_wait_ms)
         self._rng = jax.random.PRNGKey(base_seed)
+        self.max_queue_depth = int(max_queue_depth)
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         # dispatched-but-uncollected windows; maxsize bounds device
         # in-flight work to 2 windows (device dispatch is async on the
@@ -134,6 +142,7 @@ class GenerationService:
             "padded_rows": 0,
             "errors": 0,
             "cancelled": 0,
+            "rejected": 0,
             "tokens_served": 0,
         }
         self._latencies_ms: list[float] = []
@@ -197,10 +206,20 @@ class GenerationService:
     # ---- client API ------------------------------------------------------
 
     def submit(self, sample: Dict[str, np.ndarray], seed: int) -> Future:
-        """Enqueue one sample; resolves to ``[1 + length]`` int32 tokens."""
+        """Enqueue one sample; resolves to ``[1 + length]`` int32 tokens.
+
+        Raises :class:`ServiceOverloaded` when the queue is at
+        ``max_queue_depth`` (load is shed at the edge — HTTP 503 — rather
+        than growing an unbounded host backlog)."""
         self._validate(sample)
         if self._thread is None:
             raise RuntimeError("service not started")
+        if self._queue.qsize() >= self.max_queue_depth:
+            with self._lock:
+                self._stats["rejected"] += 1
+            raise ServiceOverloaded(
+                f"request queue at max_queue_depth={self.max_queue_depth}"
+            )
         fut: Future = Future()
         self._queue.put(_Pending({k: np.asarray(sample[k]) for k in SAMPLE_KEYS},
                                  int(seed), fut))
@@ -461,6 +480,8 @@ class _Handler(BaseHTTPRequestHandler):
 
                 out["text"] = postprocess_tokens(tokens, tok)
             self._json(200, out)
+        except ServiceOverloaded as e:
+            self._json(503, {"error": str(e)})
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._json(400, {"error": str(e)})
         except Exception as e:  # pragma: no cover - defensive
@@ -499,6 +520,8 @@ def build_arg_parser():
                    help="window the batcher holds open for stragglers")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip compile-ahead of every bucket at startup")
+    p.add_argument("--max_queue_depth", default=4096, type=int,
+                   help="shed load (HTTP 503) past this many queued requests")
     return p
 
 
@@ -543,6 +566,7 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         buckets=tuple(int(b) for b in args.buckets.split(",")),
         max_wait_ms=args.max_wait_ms,
         base_seed=args.seed,
+        max_queue_depth=args.max_queue_depth,
     ).start()
     if not args.no_warmup:
         logger.info("Warming up buckets %s ...", args.buckets)

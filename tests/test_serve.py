@@ -212,6 +212,18 @@ def test_stop_serves_already_submitted_requests(serve_setup):
     assert st["tokens_per_s"] > 0
 
 
+def test_overload_sheds_at_the_edge(serve_setup):
+    from mmtg_tpu.serve import ServiceOverloaded
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg, buckets=(2,),
+                            max_wait_ms=0.0, base_seed=0, max_queue_depth=0)
+    with svc:
+        with pytest.raises(ServiceOverloaded, match="max_queue_depth"):
+            svc.submit(samples[0], seed=1)
+    assert svc.stats()["rejected"] == 1
+
+
 def test_swap_params_hot_reload(serve_setup):
     """Weight hot-swap: same compiled programs, new outputs, next window;
     mismatched trees are rejected."""
