@@ -482,6 +482,9 @@ def generate_sharded(
 
     tp = mesh.shape[MODEL_AXIS]
     batch_spec = {k: P(DATA_AXIS) for k in batch}
+    seed_specs = () if row_seeds is None else (P(DATA_AXIS),)
+    seed_args = () if row_seeds is None else (row_seeds,)
+
     if tp == 1:
         def local_generate(params, const, batch, rng, row_seeds=None):
             if row_seeds is None:
@@ -489,54 +492,34 @@ def generate_sharded(
             return generate(params, const, mcfg, dcfg, gcfg, batch, rng,
                             row_seeds=row_seeds)
 
-        if row_seeds is None:
-            fn = shard_map(
-                local_generate,
-                mesh=mesh,
-                in_specs=(P(), P(), batch_spec, P()),
-                out_specs=P(DATA_AXIS),
-                check_vma=False,
+        local_fn, param_specs = local_generate, P()
+    else:
+        # --- DP × TP -------------------------------------------------------
+        gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
+        params = tp_decode_params(
+            params, mcfg.gpt2.n_head, mcfg.gpt2.head_dim, tp
+        )
+        param_specs = decode_param_pspecs(params)
+
+        def local_generate_tp(params, const, batch, rng, row_seeds=None):
+            # same rng for all model shards of a data slice (they must
+            # sample identical tokens); independent per data shard — via
+            # the data-axis fold, or per-row streams when row_seeds drive
+            # the sampling
+            if row_seeds is None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            return _generate_jit(
+                params, const, mcfg, dcfg, gcfg, batch, rng, row_seeds,
+                tp_axis=MODEL_AXIS,
             )
-            return fn(params, const, batch, rng)
-        fn = shard_map(
-            local_generate,
-            mesh=mesh,
-            in_specs=(P(), P(), batch_spec, P(), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS),
-            check_vma=False,
-        )
-        return fn(params, const, batch, rng, row_seeds)
 
-    # --- DP × TP ---------------------------------------------------------
-    gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
-    params = tp_decode_params(params, mcfg.gpt2.n_head, mcfg.gpt2.head_dim, tp)
-    pspecs = decode_param_pspecs(params)
+        local_fn = local_generate_tp
 
-    def local_generate_tp(params, const, batch, rng, row_seeds=None):
-        # same rng for all model shards of a data slice (they must sample
-        # identical tokens); independent per data shard — via the data-axis
-        # fold, or per-row streams when row_seeds drive the sampling
-        if row_seeds is None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        return _generate_jit(
-            params, const, mcfg, dcfg, gcfg, batch, rng, row_seeds,
-            tp_axis=MODEL_AXIS,
-        )
-
-    if row_seeds is None:
-        fn = shard_map(
-            local_generate_tp,
-            mesh=mesh,
-            in_specs=(pspecs, P(), batch_spec, P()),
-            out_specs=P(DATA_AXIS),
-            check_vma=False,
-        )
-        return fn(params, const, batch, rng)
     fn = shard_map(
-        local_generate_tp,
+        local_fn,
         mesh=mesh,
-        in_specs=(pspecs, P(), batch_spec, P(), P(DATA_AXIS)),
+        in_specs=(param_specs, P(), batch_spec, P()) + seed_specs,
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )
-    return fn(params, const, batch, rng, row_seeds)
+    return fn(params, const, batch, rng, *seed_args)

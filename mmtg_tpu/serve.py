@@ -135,6 +135,7 @@ class GenerationService:
         self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         self._thread: Optional[threading.Thread] = None
         self._collector: Optional[threading.Thread] = None
+        self._stopping = False
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0,
@@ -164,10 +165,24 @@ class GenerationService:
     def stop(self) -> None:
         if self._thread is None:
             return
+        self._stopping = True  # submit() rejects from here on
         self._queue.put(None)
         self._thread.join()
         self._collector.join()
         self._thread = self._collector = None
+        # belt-and-braces: fail any straggler that raced past the
+        # _stopping check into the queue after the batcher drained it
+        self._fail_queued("service stopped before decoding")
+        self._stopping = False
+
+    def _fail_queued(self, msg: str) -> None:
+        while True:
+            try:
+                left = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if left is not None and left.future.set_running_or_notify_cancel():
+                left.future.set_exception(RuntimeError(msg))
 
     def __enter__(self):
         return self.start()
@@ -212,8 +227,8 @@ class GenerationService:
         ``max_queue_depth`` (load is shed at the edge — HTTP 503 — rather
         than growing an unbounded host backlog)."""
         self._validate(sample)
-        if self._thread is None:
-            raise RuntimeError("service not started")
+        if self._thread is None or self._stopping:
+            raise RuntimeError("service not started or stopping")
         if self._queue.qsize() >= self.max_queue_depth:
             with self._lock:
                 self._stats["rejected"] += 1
@@ -221,8 +236,14 @@ class GenerationService:
                 f"request queue at max_queue_depth={self.max_queue_depth}"
             )
         fut: Future = Future()
+        # two's-complement into int32: the seed rides a [B] int32 array
+        # into fold_in, and a client-supplied 2**40 must not blow up the
+        # whole window in _pack
+        seed = int(seed) & 0xFFFFFFFF
+        if seed >= 2**31:
+            seed -= 2**32
         self._queue.put(_Pending({k: np.asarray(sample[k]) for k in SAMPLE_KEYS},
-                                 int(seed), fut))
+                                 seed, fut))
         with self._lock:
             self._stats["requests"] += 1
         return fut
@@ -271,17 +292,30 @@ class GenerationService:
 
     # ---- internals -------------------------------------------------------
 
+    def _expected_shapes(self) -> Dict[str, tuple]:
+        P, m = self.dcfg.topic_prompt_length, self.mcfg
+        return {
+            "topic_ids": (P,),
+            "tpw_attention_mask": (P,),
+            "tpw_type_ids": (P,),
+            "topic_emb": (m.topic.input_dim,),
+            "img_embs": (m.seq_len, m.image.input_dim),
+            "r_embs": (m.seq_len, m.text.input_dim),
+        }
+
     def _validate(self, sample: Dict) -> None:
+        """Strict per-key shape check at the edge. Anything less lets one
+        bad request poison its window's batch-mates (np.stack raises
+        inside the batcher) — or worse, an internally-consistent wrong
+        sequence length would trace a brand-new jit program and stall the
+        service for the minutes the compile takes."""
         missing = [k for k in SAMPLE_KEYS if k not in sample]
         if missing:
             raise ValueError(f"sample missing keys: {missing}")
-        for k in SAMPLE_KEYS:
-            arr = np.asarray(sample[k])
-            if k == "topic_ids" and arr.shape != (self.dcfg.topic_prompt_length,):
-                raise ValueError(
-                    f"topic_ids shape {arr.shape} != "
-                    f"({self.dcfg.topic_prompt_length},)"
-                )
+        for k, want in self._expected_shapes().items():
+            got = np.asarray(sample[k]).shape
+            if got != want:
+                raise ValueError(f"{k} shape {got} != {want}")
 
     def _synthetic_sample(self) -> Dict[str, np.ndarray]:
         d, dcfg, m = {}, self.dcfg, self.mcfg
@@ -340,15 +374,10 @@ class GenerationService:
             if first is None:
                 # graceful drain: anything still queued after the stop
                 # sentinel fails loudly instead of hanging its client
-                while True:
-                    try:
-                        left = self._queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    if left is not None:
-                        left.future.set_exception(
-                            RuntimeError("service stopped before decoding")
-                        )
+                # (_fail_queued respects already-cancelled futures —
+                # set_exception on one would InvalidStateError this thread
+                # to death before the collector gets its sentinel)
+                self._fail_queued("service stopped before decoding")
                 self._inflight.put(None)
                 return
             reqs = [first]
@@ -457,6 +486,10 @@ class _Handler(BaseHTTPRequestHandler):
             except (KeyError, ValueError, TypeError,
                     json.JSONDecodeError, FileNotFoundError) as e:
                 self._json(400, {"error": str(e)})
+            except Exception as e:
+                # corrupt .pth / half-written Orbax dir / permissions: a
+                # JSON 500 beats a dropped socket for the operator
+                self._json(500, {"error": str(e)})
             return
         if self.path != "/generate":
             self._json(404, {"error": f"unknown path {self.path}"})

@@ -171,6 +171,23 @@ def test_service_validates_samples(serve_setup):
     bad2["topic_ids"] = bad2["topic_ids"][:-1]
     with pytest.raises(ValueError, match="topic_ids shape"):
         svc._validate(bad2)
+    # a wrong-T img_embs must be rejected at the EDGE: inside a window it
+    # would poison batch-mates (np.stack) or trace a fresh multi-minute
+    # compile (internally-consistent wrong length)
+    bad3 = dict(samples[0])
+    bad3["img_embs"] = np.asarray(bad3["img_embs"])[:-1]
+    with pytest.raises(ValueError, match="img_embs shape"):
+        svc._validate(bad3)
+
+
+def test_seed_out_of_int32_is_masked_not_fatal(serve_setup):
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    with svc:
+        big = svc.generate_sync(samples[0], seed=2**40)  # & 0xFFFFFFFF == 0
+        zero = svc.generate_sync(samples[0], seed=0)
+    np.testing.assert_array_equal(big, zero)
 
 
 def test_cancelled_request_is_skipped(serve_setup):

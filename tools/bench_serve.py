@@ -134,21 +134,29 @@ def main() -> None:
     }), flush=True)
 
     # ---- solo latency ------------------------------------------------------
+    # dedicated zero-window service: an isolated user should not pay the
+    # saturation config's straggler window; the smallest bucket's program
+    # is already compiled in this process, so this is free to stand up
+    svc.stop()
+    from mmtg_tpu.serve import GenerationService as _GS
+
+    solo_svc = _GS(params, const, mcfg, dcfg, gcfg,
+                   buckets=(buckets[0],), max_wait_ms=0.0).start()
     solo = []
     for i in range(args.solo_runs):
         t = time.monotonic()
-        svc.generate_sync(sample(10_000 + i), seed=i)
+        solo_svc.generate_sync(sample(10_000 + i), seed=i)
         solo.append(time.monotonic() - t)
     solo.sort()
     print(json.dumps({
-        "metric": "serving solo-request latency",
+        "metric": "serving solo-request latency (zero-window service)",
         "value": round(solo[len(solo) // 2], 3),
         "unit": "s",
         "detail": {"runs": args.solo_runs,
                    "best_s": round(solo[0], 3),
                    "bucket": buckets[0]},
     }), flush=True)
-    svc.stop()
+    solo_svc.stop()
 
 
 if __name__ == "__main__":
