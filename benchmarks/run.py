@@ -187,6 +187,17 @@ def main() -> None:
              "value": round(512 * g8.length / dt, 1), "unit": "tok/s",
              "p50_latency_s": round(dt, 4)}
         )
+        # at vocab 50,257 the exact full-vocab TopK custom call is
+        # sort-bound (~16% of the step); approx_max_k (recall 0.99) is
+        # the measured English serving lever (docs/PERF.md) — this line
+        # quantifies it in the same session as 5b
+        ga = GenerateConfig(cache_dtype="int8", topk_impl="approx")
+        dt = _time(lambda: _sync(generate(ep, ec, emcfg, edcfg, ga, b512, key)))
+        results.append(
+            {"config": "5c:english-clip-decode-b512-int8-approx-topk",
+             "value": round(512 * ga.length / dt, 1), "unit": "tok/s",
+             "p50_latency_s": round(dt, 4)}
+        )
 
     for r in results:
         print(json.dumps(r))

@@ -150,9 +150,13 @@ def sample_next_token(
     logits = ban_tokens(logits)
     if top_k > 0:
         k = min(top_k, logits.shape[-1])
-        # NOT exact_top_k_grouped: measured in-program at b512 it LOSES
-        # 14% end-to-end (95.9k -> 82.6k tok/s) — the reshape + second
-        # top-k + gathers cost more than the full-vocab TopK call.
+        # default "exact" is the full-vocab TopK call. The grouped exact
+        # two-stage form (tools/probe_topk.py) loses in-program at BOTH
+        # vocabs — 14% at 13,317 (95.9k -> 82.6k) and 2x at the English
+        # 50,257 (99.4k -> 47.8k, token-identical) — despite winning the
+        # standalone op probe; the reshape/pad/gather traffic around it
+        # doesn't fuse. "approx" (recall 0.99) is noise at 13,317 but
+        # +16% at 50,257 (99k -> 115k): the English serving lever.
         if topk_impl == "approx":
             vals, idx = jax.lax.approx_max_k(logits, k, recall_target=0.99)
         else:

@@ -1,4 +1,11 @@
-"""A/B candidate exact top-k implementations for [B, 13317] k=10 on TPU."""
+"""A/B candidate exact top-k implementations for [B, 13317] k=10 on TPU.
+
+Regime CLOSED (r03, docs/PERF.md): the grouped two-stage reduction wins
+this standalone probe but LOSES in-program at both vocabs — 14% at
+13,317 and 2× at the English 50,257 (token-identical outputs, so the
+loss is pure reshape/pad/gather traffic that doesn't fuse into the
+decode step). What actually wins at 50,257 is `lax.approx_max_k`
+(recall 0.99): +16% end-to-end, `--topk_impl approx`."""
 import json
 import time
 
