@@ -558,18 +558,19 @@ def build_arg_parser():
     return p
 
 
-def main(argv=None, mcfg: ModelConfig | None = None,
-         dcfg: DataConfig | None = None) -> None:
-    args = build_arg_parser().parse_args(argv)
+def build_service(args, mcfg: ModelConfig | None = None,
+                  dcfg: DataConfig | None = None):
+    """Everything between parsed args and a started service: tokenizer,
+    configs (or the injected tiny test ones), checkpoint, WenLan table,
+    bucket parsing. Returns ``(service, tokenizer)`` — split from
+    :func:`main` so the CLI wiring is testable without ``serve_forever``."""
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
     from mmtg_tpu.bpe import load_tokenizer
     from mmtg_tpu.data import load_token_embedding_table
     from mmtg_tpu.generate import load_params
-    from mmtg_tpu.utils.logging import setup_logger
 
-    logger = setup_logger()
     tokenizer = load_tokenizer(args.tokenizer_path)
     if mcfg is None or dcfg is None:
         if args.variant == "english":
@@ -601,6 +602,16 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         base_seed=args.seed,
         max_queue_depth=args.max_queue_depth,
     ).start()
+    return service, tokenizer
+
+
+def main(argv=None, mcfg: ModelConfig | None = None,
+         dcfg: DataConfig | None = None) -> None:
+    args = build_arg_parser().parse_args(argv)
+    from mmtg_tpu.utils.logging import setup_logger
+
+    logger = setup_logger()
+    service, tokenizer = build_service(args, mcfg, dcfg)
     if not args.no_warmup:
         logger.info("Warming up buckets %s ...", args.buckets)
         service.warmup()

@@ -260,6 +260,81 @@ def test_swap_params_hot_reload(serve_setup):
         svc.swap_params(bad)
 
 
+def test_serve_cli_build_service(tmp_path, tiny_model_cfg, tiny_data_cfg,
+                                 reference_vocab_path, rng):
+    """The CLI wiring end-to-end with a tiny injected model: train a
+    checkpoint, build the service through parsed args (tokenizer, ckpt
+    load, table load, bucket parsing), serve one HTTP request."""
+    import dataclasses
+    import pickle
+
+    from mmtg_tpu.configs import GPT2Config
+    from mmtg_tpu.data import make_synthetic_records
+    from mmtg_tpu.serve import build_arg_parser, build_service
+    from mmtg_tpu.train import main as train_main
+
+    records = make_synthetic_records(8, rng,
+                                     emb_size=tiny_data_cfg.wenlan_emb_size)
+    train_pkl = tmp_path / "train.pkl"
+    with open(train_pkl, "wb") as f:
+        pickle.dump(records, f)
+    emb_pkl = tmp_path / "emb.pkl"
+    table = {i: rng.standard_normal(
+        tiny_data_cfg.wenlan_emb_size).astype("float32")
+        for i in range(13317)}
+    with open(emb_pkl, "wb") as f:
+        pickle.dump(table, f)
+    mcfg = dataclasses.replace(
+        tiny_model_cfg,
+        gpt2=GPT2Config(vocab_size=13317, n_positions=256, n_embd=48,
+                        n_layer=2, n_head=4),
+    )
+    save = tmp_path / "ckpt"
+    train_main(
+        ["--batch_size", "4", "--val_batch_size", "4", "--epochs", "1",
+         "--lr", "1e-3", "--curriculums", "[0,0]", "--log_interval", "8",
+         "--train_data_path", str(train_pkl),
+         "--val_data_path", str(train_pkl),
+         "--vocab_path", reference_vocab_path,
+         "--token_emb_path", str(emb_pkl),
+         "--save_model", "--save_path", str(save),
+         "--dtype", "float32", "--mesh_data", "1", "--mesh_model", "1"],
+        mcfg=mcfg, dcfg=tiny_data_cfg,
+    )
+
+    args = build_arg_parser().parse_args(
+        ["--model_path", str(save),
+         "--tokenizer_path", reference_vocab_path,
+         "--token_emb_path", str(emb_pkl),
+         "--buckets", "2,4", "--max_wait_ms", "0"]
+    )
+    service, tok = build_service(args, mcfg=mcfg, dcfg=tiny_data_cfg)
+    try:
+        httpd = serve_http(service, port=0, tokenizer=tok)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            from mmtg_tpu.data import MMTGDataset
+            from mmtg_tpu.tokenizer import WordPieceTokenizer
+
+            wp = WordPieceTokenizer.from_file(reference_vocab_path)
+            ds = MMTGDataset.from_records(records, wp, tiny_data_cfg,
+                                          if_train=False)
+            row = {k: np.asarray(v).tolist() for k, v in ds[0].items()}
+            body = json.dumps({"sample": row, "seed": 1}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{httpd.server_address[1]}/generate",
+                data=body, headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            assert len(out["tokens"]) == tiny_data_cfg.max_seq_length + 1
+            assert isinstance(out.get("text", ""), str)
+        finally:
+            httpd.shutdown()
+    finally:
+        service.stop()
+
+
 def test_http_front(serve_setup, tokenizer):
     params, const, mcfg, dcfg, gcfg, samples = serve_setup
     svc = GenerationService(params, const, mcfg, dcfg, gcfg,
