@@ -165,6 +165,9 @@ def run(
         "int4": ["--cache_dtype", "int4"],
         # the serving-default candidate: int8 cache + weight-only int8
         "int8_w8": ["--cache_dtype", "int8", "--weight_dtype", "int8"],
+        # recall-0.99 approx top-k — the measured English-vocab serving
+        # lever (+16% at 50,257, docs/PERF.md); quantify its quality cost
+        "topk_approx": ["--topk_impl", "approx"],
     }
     for mode, extra in modes.items():
         outs[mode] = {}
@@ -221,7 +224,7 @@ def run(
         # full-precision decode of the SAME prompts and seed
         "cache_mode_vs_fp": {
             m: metrics_for(outs[m][seeds[0]], outs["model"][seeds[0]])
-            for m in ("int8", "int4", "int8_w8")
+            for m in ("int8", "int4", "int8_w8", "topk_approx")
         },
         # divergence control: fp-vs-fp across seeds — the BLEU scale that
         # pure sampling-trajectory divergence produces with IDENTICAL
