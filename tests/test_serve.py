@@ -260,6 +260,39 @@ def test_swap_params_hot_reload(serve_setup):
         svc.swap_params(bad)
 
 
+def test_hot_swap_under_traffic(serve_setup):
+    """swap_params is an atomic rebind: under concurrent reloads, every
+    response is a coherent decode of ONE weight set (never a torn mix),
+    proven by matching each reply against the two valid decodes."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    other = init_mmtg_params(jax.random.PRNGKey(99), mcfg)
+    want_a = _direct(params, const, mcfg, dcfg, gcfg, [samples[0]], [5])[0]
+    wb = _direct(other, const, mcfg, dcfg, gcfg, [samples[0]], [5])[0]
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    import threading as th
+
+    stop = th.Event()
+
+    def swapper():
+        flip = False
+        while not stop.is_set():
+            svc.swap_params(other if flip else params)
+            flip = not flip
+
+    with svc:
+        t = th.Thread(target=swapper, daemon=True)
+        t.start()
+        try:
+            for _ in range(8):
+                got = np.asarray(svc.generate_sync(samples[0], seed=5))
+                assert (got == np.asarray(want_a)).all() or \
+                       (got == np.asarray(wb)).all(), "torn weight swap"
+        finally:
+            stop.set()
+            t.join()
+
+
 def test_serve_cli_build_service(tmp_path, tiny_model_cfg, tiny_data_cfg,
                                  reference_vocab_path, rng):
     """The CLI wiring end-to-end with a tiny injected model: train a
