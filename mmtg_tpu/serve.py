@@ -144,6 +144,7 @@ class GenerationService:
             "errors": 0,
             "cancelled": 0,
             "rejected": 0,
+            "served": 0,
             "tokens_served": 0,
         }
         self._latencies_ms: list[float] = []
@@ -278,7 +279,10 @@ class GenerationService:
             out = dict(self._stats)
             lat = sorted(self._latencies_ms)
         n_b = max(out["batches"], 1)
-        served = out["requests"] - out["cancelled"]
+        # "served" counts rows whose window COMPLETED (collector-side);
+        # using submitted-minus-cancelled here would let a backlog push
+        # mean_batch above the largest bucket
+        served = out["served"]
         out["mean_fill"] = served / max(served + out["padded_rows"], 1)
         out["mean_batch"] = served / n_b
         out["uptime_s"] = round(time.monotonic() - self._t_start, 1)
@@ -435,6 +439,7 @@ class GenerationService:
             with self._lock:
                 self._stats["batches"] += 1
                 self._stats["padded_rows"] += bucket - len(reqs)
+                self._stats["served"] += len(reqs)
                 self._stats["tokens_served"] += len(reqs) * (
                     tokens.shape[1] - 1
                 )  # position 0 is the seeded [#START#], not generated

@@ -31,12 +31,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, default=300.0,
                     help="mean arrivals/s (service capacity measured ~410)")
+    ap.add_argument("--producers", type=int, default=1,
+                    help="arrival threads (one caps at ~230/s; use several "
+                         "to reach or exceed service capacity)")
     ap.add_argument("--duration_s", type=float, default=600.0)
     ap.add_argument("--snapshot_every_s", type=float, default=30.0)
     ap.add_argument("--buckets", default="8,32,128", type=str)
     ap.add_argument("--max_wait_ms", type=float, default=40.0)
     ap.add_argument("--cache-dtype", default="int8",
                     choices=["model", "int8", "int4"])
+    ap.add_argument("--max_queue_depth", type=int, default=4096)
     args = ap.parse_args()
 
     import jax
@@ -76,7 +80,8 @@ def main() -> int:
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
     svc = GenerationService(params, const, mcfg, dcfg, gcfg,
-                            buckets=buckets, max_wait_ms=args.max_wait_ms)
+                            buckets=buckets, max_wait_ms=args.max_wait_ms,
+                            max_queue_depth=args.max_queue_depth)
     svc.start()
     print("# warming up ...", flush=True)
     svc.warmup()
@@ -97,11 +102,12 @@ def main() -> int:
 
     stop = threading.Event()
 
-    def producer():
-        arr_rng = np.random.default_rng(1234)
-        i = 0
+    def producer(pid):
+        arr_rng = np.random.default_rng(1234 + pid)
+        i = pid * 10_000_000
+        per_thread_rate = args.rate / args.producers
         while not stop.is_set():
-            time.sleep(float(arr_rng.exponential(1.0 / args.rate)))
+            time.sleep(float(arr_rng.exponential(1.0 / per_thread_rate)))
             t0 = time.monotonic()
             try:
                 fut = svc.submit(pool[i % len(pool)], seed=i)
@@ -114,9 +120,11 @@ def main() -> int:
                 fut.add_done_callback(on_done(t0))
             i += 1
 
-    prod = threading.Thread(target=producer, daemon=True)
+    prods = [threading.Thread(target=producer, args=(p,), daemon=True)
+             for p in range(args.producers)]
     t_start = time.monotonic()
-    prod.start()
+    for prod in prods:
+        prod.start()
     ok = True
     max_backlog = 0
     while time.monotonic() - t_start < args.duration_s:
@@ -139,7 +147,8 @@ def main() -> int:
         }
         print(json.dumps(line), flush=True)
     stop.set()
-    prod.join()
+    for prod in prods:
+        prod.join()
     # drain: everything submitted must resolve
     deadline = time.monotonic() + 120
     while time.monotonic() < deadline:
