@@ -10,6 +10,7 @@ freely. The reference has no batched serving at all (``predict.py:76``
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -279,6 +280,9 @@ def test_hot_swap_under_traffic(serve_setup):
         while not stop.is_set():
             svc.swap_params(other if flip else params)
             flip = not flip
+            # each swap copies the full tree; unthrottled it starves the
+            # decode windows for the GIL and just slows the suite
+            time.sleep(0.001)
 
     with svc:
         t = th.Thread(target=swapper, daemon=True)

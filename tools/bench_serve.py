@@ -26,6 +26,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
@@ -40,39 +41,17 @@ def main() -> None:
     ap.add_argument("--solo-runs", type=int, default=5)
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    from serve_common import build_model, make_payload
 
-    from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig
-    from mmtg_tpu.models.mmtg import init_mmtg_params
     from mmtg_tpu.serve import GenerationService
 
-    mcfg, dcfg = ModelConfig(), DataConfig()
-    gcfg = GenerateConfig(cache_dtype=args.cache_dtype)
-    rng = np.random.default_rng(0)
-    params = init_mmtg_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
-    const = {
-        "wenlan_table": jnp.asarray(
-            rng.standard_normal((mcfg.gpt2.vocab_size, dcfg.wenlan_emb_size)),
-            jnp.bfloat16,
-        )
-    }
-    P, E = dcfg.topic_prompt_length, dcfg.wenlan_emb_size
+    params, const, mcfg, dcfg, gcfg = build_model(args.cache_dtype)
 
     def sample(i):
-        r = np.random.default_rng(i)
-        return {
-            "topic_ids": r.integers(103, 8000, (P,)).astype(np.int32),
-            "tpw_attention_mask": np.ones((P,), np.int32),
-            "tpw_type_ids": np.ones((P,), np.int32),
-            "topic_emb": r.standard_normal((E,)).astype(np.float32),
-            "img_embs": r.standard_normal((5, E)).astype(np.float32),
-            "r_embs": r.standard_normal((5, E)).astype(np.float32),
-        }
+        return make_payload(i, dcfg, mcfg)
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
     svc = GenerationService(params, const, mcfg, dcfg, gcfg,

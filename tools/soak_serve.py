@@ -5,13 +5,14 @@ Unlike tools/bench_serve.py's closed-loop clients (which can never
 overload the service — each client waits for its reply), this drives
 OPEN-LOOP arrivals at a fixed rate, the regime where backlog growth,
 latency drift, stats-counter leaks, or collector stalls would actually
-show up. Usage (idle host, real chip):
+show up. Snapshots report PER-INTERVAL latency percentiles (a cumulative
+median would mask late-run drift — the thing a soak exists to catch).
+Usage (idle host, real chip):
 
     python tools/soak_serve.py --rate 300 --duration_s 600
 
 Prints one JSON snapshot line per interval and a final summary; exits
-nonzero if the soak fails (lost replies, unbounded backlog, errors).
-"""
+nonzero if the soak fails (lost replies, errors)."""
 
 from __future__ import annotations
 
@@ -25,6 +26,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pct(sorted_vals, q):
+    return round(sorted_vals[min(len(sorted_vals) - 1,
+                                 int(len(sorted_vals) * q))], 3)
 
 
 def main() -> int:
@@ -43,40 +50,16 @@ def main() -> int:
     ap.add_argument("--max_queue_depth", type=int, default=4096)
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from mmtg_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    from serve_common import build_model, make_payload
 
-    from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig
-    from mmtg_tpu.models.mmtg import init_mmtg_params
     from mmtg_tpu.serve import GenerationService, ServiceOverloaded
 
-    mcfg, dcfg = ModelConfig(), DataConfig()
-    gcfg = GenerateConfig(cache_dtype=args.cache_dtype)
-    rng = np.random.default_rng(0)
-    params = init_mmtg_params(jax.random.PRNGKey(0), mcfg, dtype=jnp.bfloat16)
-    const = {
-        "wenlan_table": jnp.asarray(
-            rng.standard_normal((mcfg.gpt2.vocab_size, dcfg.wenlan_emb_size)),
-            jnp.bfloat16,
-        )
-    }
-    P, E = dcfg.topic_prompt_length, dcfg.wenlan_emb_size
+    params, const, mcfg, dcfg, gcfg = build_model(args.cache_dtype)
     # a small pool of pre-built payloads (arrival loop must be cheap)
-    pool = []
-    for i in range(64):
-        r = np.random.default_rng(i)
-        pool.append({
-            "topic_ids": r.integers(103, 8000, (P,)).astype(np.int32),
-            "tpw_attention_mask": np.ones((P,), np.int32),
-            "tpw_type_ids": np.ones((P,), np.int32),
-            "topic_emb": r.standard_normal((E,)).astype(np.float32),
-            "img_embs": r.standard_normal((5, E)).astype(np.float32),
-            "r_embs": r.standard_normal((5, E)).astype(np.float32),
-        })
+    pool = [make_payload(i, dcfg, mcfg) for i in range(64)]
 
     buckets = tuple(int(b) for b in args.buckets.split(","))
     svc = GenerationService(params, const, mcfg, dcfg, gcfg,
@@ -88,14 +71,17 @@ def main() -> int:
 
     lock = threading.Lock()
     state = {"submitted": 0, "done": 0, "failed": 0, "rejected": 0}
-    lats: list[float] = []
+    all_lats: list[float] = []       # summary percentiles (sorted at END)
+    interval_lats: list[float] = []  # reset per snapshot — shows drift
 
     def on_done(t0):
         def cb(fut):
+            dt = time.monotonic() - t0
             with lock:
                 if fut.exception() is None:
                     state["done"] += 1
-                    lats.append(time.monotonic() - t0)
+                    all_lats.append(dt)
+                    interval_lats.append(dt)
                 else:
                     state["failed"] += 1
         return cb
@@ -122,33 +108,50 @@ def main() -> int:
 
     prods = [threading.Thread(target=producer, args=(p,), daemon=True)
              for p in range(args.producers)]
+    # t_start is POST-warmup: both tokens_served and the wall clock then
+    # cover only soak traffic (an uptime-based rate would fold compile
+    # time into the denominator and understate throughput)
     t_start = time.monotonic()
     for prod in prods:
         prod.start()
-    ok = True
     max_backlog = 0
-    while time.monotonic() - t_start < args.duration_s:
-        time.sleep(args.snapshot_every_s)
+    last_tokens = 0
+    while True:
+        remaining = args.duration_s - (time.monotonic() - t_start)
+        if remaining <= 0:
+            break
+        time.sleep(min(args.snapshot_every_s, remaining))
         with lock:
             snap = dict(state)
-            lat = sorted(lats)
+            lat = interval_lats
+            interval_lats = []
+        lat.sort()  # outside the lock: the done-callbacks (which run in
+        # the service collector thread) must never wait on a sort
         st = svc.stats()
+        now = time.monotonic()
         backlog = snap["submitted"] - snap["done"] - snap["failed"]
         max_backlog = max(max_backlog, backlog)
         line = {
-            "t_s": round(time.monotonic() - t_start, 1),
+            "t_s": round(now - t_start, 1),
             **snap,
             "backlog": backlog,
             "mean_batch": round(st["mean_batch"], 1),
-            "tokens_per_s": st["tokens_per_s"],
-            "p50_s": round(lat[len(lat) // 2], 3) if lat else None,
-            "p99_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3)
-            if lat else None,
+            "tokens_per_s": round(
+                st["tokens_served"] / max(now - t_start, 1e-9), 1
+            ),
+            "interval_tokens_per_s": round(
+                (st["tokens_served"] - last_tokens)
+                / max(args.snapshot_every_s, 1e-9), 1
+            ),
+            "interval_p50_s": _pct(lat, 0.5) if lat else None,
+            "interval_p99_s": _pct(lat, 0.99) if lat else None,
         }
+        last_tokens = st["tokens_served"]
         print(json.dumps(line), flush=True)
     stop.set()
     for prod in prods:
         prod.join()
+    actual_duration = time.monotonic() - t_start
     # drain: everything submitted must resolve
     deadline = time.monotonic() + 120
     while time.monotonic() < deadline:
@@ -159,25 +162,26 @@ def main() -> int:
     svc.stop()
     with lock:
         snap = dict(state)
-        lat = sorted(lats)
+        lat = list(all_lats)
+    lat.sort()
     st = svc.stats()
     lost = snap["submitted"] - snap["done"] - snap["failed"]
     summary = {
         "metric": "serving soak",
         "ok": bool(lost == 0 and snap["failed"] == 0
                    and st["errors"] == 0 and snap["done"] > 0),
-        "duration_s": args.duration_s,
+        "duration_s": round(actual_duration, 1),
+        "requested_duration_s": args.duration_s,
         "rate_req_s": args.rate,
         **snap,
         "lost": lost,
         "max_backlog": max_backlog,
         "service_errors": st["errors"],
         "tokens_served": st["tokens_served"],
-        "p50_s": round(lat[len(lat) // 2], 3) if lat else None,
-        "p95_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
-        if lat else None,
-        "p99_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 3)
-        if lat else None,
+        "tokens_per_s": round(st["tokens_served"] / actual_duration, 1),
+        "p50_s": _pct(lat, 0.5) if lat else None,
+        "p95_s": _pct(lat, 0.95) if lat else None,
+        "p99_s": _pct(lat, 0.99) if lat else None,
         "mean_batch": round(st["mean_batch"], 1),
     }
     print(json.dumps(summary), flush=True)
