@@ -41,6 +41,21 @@ LYRICS_POOL = [
     "一览众山小",
 ]
 
+# --variant english: the same loop at English-variant settings (byte-level
+# BPE vocab trained on this pool, CLIP-sized embeddings, english_variant()
+# dims). BLEU stays char-level (eval.tokenize_lyric) — consistent between
+# hypothesis and reference, which is what cross-mode deltas need.
+ENGLISH_POOL = [
+    "city lights are calling out my name tonight",
+    "we dance until the morning sun comes up",
+    "every heartbeat echoes down the empty street",
+    "hold me closer while the music plays",
+    "summer rain keeps falling on my mind",
+    "chasing shadows through the neon glow",
+    "your voice is like a melody i know",
+    "we were young and running with the wind",
+]
+
 
 def run(
     n_train: int = 240,
@@ -51,6 +66,7 @@ def run(
     seed: int = 0,
     work_dir: str = "/tmp/mmtg_quality_loop",
     gen_seeds: tuple = (7, 8, 9),
+    variant: str = "chinese",
 ) -> dict:
     import jax
 
@@ -69,28 +85,56 @@ def run(
     os.makedirs(work_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    # CI-sized but fully wired model (2L GPT-2); real vocab
-    dcfg = DataConfig(wenlan_emb_size=64)
-    mcfg = ModelConfig(
-        topic=ChannelConfig(input_dim=64, hidden_dim=32, type="MLP"),
-        image=ChannelConfig(input_dim=64, hidden_dim=32),
-        text=ChannelConfig(input_dim=64, hidden_dim=32),
-        self_att_hidden_size=32,
-        self_att_heads=4,
-        mm_att_out_dim=64,
-        gpt2=GPT2Config(vocab_size=13317, n_positions=256, n_ctx=250,
-                        n_embd=64, n_layer=2, n_head=4),
-    )
+    variant_flags = []
+    if variant == "english":
+        # english_variant() dims at CI scale: BPE vocab trained on the
+        # fixture pool, CLIP-sized (64-d here) embeddings
+        from mmtg_tpu.bpe import train_bpe
+        from mmtg_tpu.configs import english_variant
+
+        tok = train_bpe(ENGLISH_POOL, vocab_size=600)
+        vocab = os.path.join(work_dir, "bpe_vocab")
+        tok.save(vocab)
+        vocab_size = len(tok)
+        mcfg, dcfg = english_variant(clip_dim=64, gpt2_vocab=vocab_size)
+        mcfg = dataclasses.replace(
+            mcfg,
+            topic=dataclasses.replace(mcfg.topic, hidden_dim=32),
+            image=dataclasses.replace(mcfg.image, hidden_dim=32),
+            text=dataclasses.replace(mcfg.text, hidden_dim=32),
+            self_att_hidden_size=32,
+            gpt2=GPT2Config(vocab_size=vocab_size, n_positions=256,
+                            n_ctx=250, n_embd=64, n_layer=2, n_head=4),
+        )
+        pool = ENGLISH_POOL
+        variant_flags = ["--variant", "english", "--clip_dim", "64"]
+    else:
+        # CI-sized but fully wired model (2L GPT-2); real vocab
+        vocab_size = 13317
+        dcfg = DataConfig(wenlan_emb_size=64)
+        mcfg = ModelConfig(
+            topic=ChannelConfig(input_dim=64, hidden_dim=32, type="MLP"),
+            image=ChannelConfig(input_dim=64, hidden_dim=32),
+            text=ChannelConfig(input_dim=64, hidden_dim=32),
+            self_att_hidden_size=32,
+            self_att_heads=4,
+            mm_att_out_dim=64,
+            gpt2=GPT2Config(vocab_size=vocab_size, n_positions=256,
+                            n_ctx=250, n_embd=64, n_layer=2, n_head=4),
+        )
+        pool = LYRICS_POOL
+        vocab = os.path.join(os.path.dirname(__file__), "..", "vocab",
+                             "vocab.txt")
 
     # corpus: ratings spanning 1-5 so every curriculum stage keeps samples
     train_recs = make_synthetic_records(
-        n_train, rng, emb_size=64, lyrics_pool=LYRICS_POOL
+        n_train, rng, emb_size=64, lyrics_pool=pool
     )
     val_recs = make_synthetic_records(
-        n_val, rng, emb_size=64, lyrics_pool=LYRICS_POOL
+        n_val, rng, emb_size=64, lyrics_pool=pool
     )
     test_recs = make_synthetic_records(
-        4, rng, emb_size=64, lyrics_pool=LYRICS_POOL
+        4, rng, emb_size=64, lyrics_pool=pool
     )
     ref_lines = ["，".join(r["lyrics"]) for r in test_recs]
     for r in test_recs:
@@ -104,8 +148,7 @@ def run(
     emb_path = os.path.join(work_dir, "emb.pkl")
     with open(emb_path, "wb") as f:
         pickle.dump({i: rng.standard_normal(64).astype(np.float32)
-                     for i in range(13317)}, f)
-    vocab = os.path.join(os.path.dirname(__file__), "..", "vocab", "vocab.txt")
+                     for i in range(vocab_size)}, f)
 
     # ---- 5-epoch curriculum train (reference train.sh schedule) ----------
     from mmtg_tpu.train import main as train_main
@@ -127,7 +170,7 @@ def run(
             "--save_model", "--save_path", save, "--log_path", log,
             "--alpha", "0.2", "--dtype", "float32",
             "--mesh_data", "1", "--mesh_model", "1",
-        ],
+        ] + variant_flags,
         mcfg=mcfg,
         dcfg=dcfg,
     )
@@ -179,7 +222,7 @@ def run(
                     "--tokenizer_path", vocab, "--token_emb_path", emb_path,
                     "--batch_size", "8", "--n_samples", "2", "--seed", str(s),
                     "--save_samples", "--save_samples_path", out_path,
-                ] + extra,
+                ] + variant_flags + extra,
                 mcfg=mcfg,
                 dcfg=dcfg,
             )
@@ -211,7 +254,9 @@ def run(
     report = {
         "config": {
             "n_train": n_train, "epochs": epochs, "batch_size": batch_size,
-            "curriculums": [1, 3], "model": "2L/4H/64d GPT-2, vocab 13317",
+            "curriculums": [1, 3],
+            "model": f"2L/4H/64d GPT-2, vocab {vocab_size}",
+            "variant": variant,
             "gen_seeds": seeds,
         },
         "val_loss_curve": val_curve,
@@ -245,4 +290,15 @@ def run(
 
 
 if __name__ == "__main__":
-    run()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="chinese",
+                    choices=["chinese", "english"])
+    a = ap.parse_args()
+    run(
+        variant=a.variant,
+        out_json=("docs/QUALITY_LOOP_EN.json" if a.variant == "english"
+                  else "docs/QUALITY_LOOP.json"),
+        work_dir=f"/tmp/mmtg_quality_loop_{a.variant}",
+    )
