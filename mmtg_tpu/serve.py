@@ -454,6 +454,51 @@ class GenerationService:
 # ---- HTTP front -----------------------------------------------------------
 
 
+def prometheus_metrics(stats: Dict) -> str:
+    """Render ``GenerationService.stats()`` in the Prometheus text
+    exposition format (version 0.0.4) for the ``/metrics`` endpoint.
+
+    Monotone counts become counters (``_total``), derived values become
+    gauges, and the latency percentiles are exposed summary-style with a
+    ``quantile`` label, in seconds per Prometheus naming conventions."""
+    counters = {
+        "requests": ("requests_total", "Rows accepted by submit()"),
+        "batches": ("windows_total", "Decode windows dispatched"),
+        "padded_rows": ("padded_rows_total", "Pad rows added to windows"),
+        "served": ("served_rows_total", "Rows whose window completed"),
+        "tokens_served": ("tokens_served_total", "Generated tokens"),
+        "rejected": ("rejected_total", "Rows shed at the queue edge"),
+        "cancelled": ("cancelled_total", "Rows cancelled before dispatch"),
+        "errors": ("errors_total", "Windows failed in decode/collect"),
+    }
+    gauges = {
+        "mean_fill": ("window_fill_ratio", "served/(served+padded) rows"),
+        "mean_batch": ("window_mean_rows", "Mean served rows per window"),
+        "uptime_s": ("uptime_seconds", "Seconds since service start"),
+        "tokens_per_s": ("tokens_per_second", "tokens_served/uptime"),
+    }
+    lines: list[str] = []
+    for key, (name, help_) in counters.items():
+        if key in stats:
+            lines += [f"# HELP mmtg_{name} {help_}",
+                      f"# TYPE mmtg_{name} counter",
+                      f"mmtg_{name} {stats[key]}"]
+    for key, (name, help_) in gauges.items():
+        if key in stats:
+            lines += [f"# HELP mmtg_{name} {help_}",
+                      f"# TYPE mmtg_{name} gauge",
+                      f"mmtg_{name} {stats[key]}"]
+    quantiles = [(q, stats[k] / 1e3) for q, k in
+                 (("0.5", "p50_latency_ms"), ("0.95", "p95_latency_ms"))
+                 if k in stats]
+    if quantiles:
+        lines += ["# HELP mmtg_request_latency_seconds Submit-to-tokens latency",
+                  "# TYPE mmtg_request_latency_seconds summary"]
+        lines += [f'mmtg_request_latency_seconds{{quantile="{q}"}} {v}'
+                  for q, v in quantiles]
+    return "\n".join(lines) + "\n"
+
+
 class _Handler(BaseHTTPRequestHandler):
     # quiet the default per-request stderr lines
     def log_message(self, fmt, *args):  # noqa: D102
@@ -473,6 +518,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"ok": True})
         elif self.path == "/stats":
             self._json(200, svc.stats())
+        elif self.path == "/metrics":
+            body = prometheus_metrics(svc.stats()).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 

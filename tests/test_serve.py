@@ -420,5 +420,44 @@ def test_http_front(serve_setup, tokenizer):
             ) as r:
                 st = json.loads(r.read())
             assert st["requests"] >= 1 and st["batches"] >= 1
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ) as r:
+                assert r.headers["Content-Type"].startswith("text/plain")
+                text = r.read().decode()
+            assert f'mmtg_requests_total {st["requests"]}' in text
+            assert "# TYPE mmtg_requests_total counter" in text
         finally:
             httpd.shutdown()
+
+
+def test_prometheus_metrics_renders_stats():
+    from mmtg_tpu.serve import prometheus_metrics
+
+    stats = {
+        "requests": 7, "batches": 3, "padded_rows": 2, "served": 6,
+        "tokens_served": 1200, "rejected": 1, "cancelled": 0, "errors": 0,
+        "mean_fill": 0.75, "mean_batch": 2.0, "uptime_s": 10.0,
+        "tokens_per_s": 120.0, "p50_latency_ms": 500.0,
+        "p95_latency_ms": 900.0,
+    }
+    text = prometheus_metrics(stats)
+    assert text.endswith("\n")
+    assert "mmtg_requests_total 7" in text
+    assert "mmtg_tokens_served_total 1200" in text
+    assert "# TYPE mmtg_window_fill_ratio gauge" in text
+    assert "mmtg_window_fill_ratio 0.75" in text
+    # latency summary is in seconds
+    assert 'mmtg_request_latency_seconds{quantile="0.5"} 0.5' in text
+    assert 'mmtg_request_latency_seconds{quantile="0.95"} 0.9' in text
+    # no percentile keys -> no summary block, still valid exposition text
+    text2 = prometheus_metrics({"requests": 0})
+    assert "latency" not in text2 and "mmtg_requests_total 0" in text2
+    # every non-comment line is "name[{labels}] value"
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        name, val = line.rsplit(" ", 1)
+        float(val)
+        assert name.startswith("mmtg_")
