@@ -36,6 +36,7 @@ import json
 import queue
 import threading
 import time
+import zipfile
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -58,6 +59,56 @@ SAMPLE_KEYS = (
     "r_embs",
 )
 _FLOAT_KEYS = ("topic_emb", "img_embs", "r_embs")
+
+# Binary request format for POST /generate: a standard ``.npz`` archive
+# (Content-Type: application/x-npz, or auto-detected by the zip magic).
+# A sample is ~22.5k f32 values (topic_emb 2048 + img_embs/r_embs 5x2048
+# at reference dims, MyDataset.py test rows) — ~250 KB and a full Python
+# float-parse as JSON, ~90 KB and a zero-copy read as npz. The response
+# stays JSON (tokens are ~220 ints; encoding cost is negligible).
+NPZ_CONTENT_TYPE = "application/x-npz"
+_ZIP_MAGIC = b"PK\x03\x04"
+# npz scalar sidecar keys (everything else must be a SAMPLE_KEYS array)
+_NPZ_META_KEYS = ("seed", "timeout", "text")
+
+
+def encode_request_npz(sample: Dict[str, np.ndarray], seed: int = 0,
+                       timeout: Optional[float] = None,
+                       text: Optional[bool] = None) -> bytes:
+    """Client-side encoder for the binary /generate request body.
+
+    Mirrors the JSON schema: the six SAMPLE_KEYS arrays plus optional
+    scalar entries ``seed`` / ``timeout`` / ``text``. Uncompressed
+    ``savez`` — the payload is float embeddings, zlib buys ~nothing and
+    costs CPU on both ends."""
+    import io
+
+    arrays = {k: np.asarray(sample[k]) for k in sample}
+    arrays["seed"] = np.int64(seed)
+    if timeout is not None:
+        arrays["timeout"] = np.float64(timeout)
+    if text is not None:
+        arrays["text"] = np.bool_(text)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def decode_request_npz(body: bytes) -> Tuple[Dict[str, np.ndarray], Dict]:
+    """Server-side decoder: returns ``(sample, meta)`` where meta carries
+    the same defaults the JSON path uses (seed 0, timeout 600, text True).
+    ``allow_pickle`` stays False (np.load default): object arrays from an
+    untrusted client must not deserialize."""
+    import io
+
+    with np.load(io.BytesIO(body)) as z:
+        sample = {k: z[k] for k in z.files if k not in _NPZ_META_KEYS}
+        meta = {
+            "seed": int(z["seed"]) if "seed" in z.files else 0,
+            "timeout": float(z["timeout"]) if "timeout" in z.files else 600.0,
+            "text": bool(z["text"]) if "text" in z.files else True,
+        }
+    return sample, meta
 
 
 class ServiceOverloaded(RuntimeError):
@@ -554,26 +605,36 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", "0"))
-            req = json.loads(self.rfile.read(n) or b"{}")
-            sample = {k: np.asarray(v) for k, v in req["sample"].items()}
-            seed = int(req.get("seed", 0))
+            body = self.rfile.read(n)
+            ctype = self.headers.get("Content-Type", "")
+            if NPZ_CONTENT_TYPE in ctype or body[:4] == _ZIP_MAGIC:
+                sample, meta = decode_request_npz(body)
+                seed, want_text = meta["seed"], meta["text"]
+                timeout = meta["timeout"]
+            else:
+                req = json.loads(body or b"{}")
+                sample = {k: np.asarray(v) for k, v in req["sample"].items()}
+                seed = int(req.get("seed", 0))
+                timeout = float(req.get("timeout", 600))
+                want_text = bool(req.get("text", True))
             t0 = time.monotonic()
-            tokens = svc.generate_sync(sample, seed,
-                                       timeout=float(req.get("timeout", 600)))
+            tokens = svc.generate_sync(sample, seed, timeout=timeout)
             out = {
                 "tokens": np.asarray(tokens).tolist(),
                 "seed": seed,
                 "latency_ms": (time.monotonic() - t0) * 1e3,
             }
             tok = getattr(self.server, "tokenizer", None)
-            if tok is not None and req.get("text", True):
+            if tok is not None and want_text:
                 from mmtg_tpu.decoding import postprocess_tokens
 
                 out["text"] = postprocess_tokens(tokens, tok)
             self._json(200, out)
         except ServiceOverloaded as e:
             self._json(503, {"error": str(e)})
-        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError,
+                zipfile.BadZipFile) as e:
+            # malformed JSON, bad shapes, or a truncated/corrupt npz body
             self._json(400, {"error": str(e)})
         except Exception as e:  # pragma: no cover - defensive
             self._json(500, {"error": str(e)})
@@ -677,6 +738,16 @@ def main(argv=None, mcfg: ModelConfig | None = None,
     logger.info("Serving on http://%s:%d (buckets %s, window %.0f ms)",
                 args.host, httpd.server_address[1], args.buckets,
                 args.max_wait_ms)
+    # SIGTERM (systemd/k8s stop) must drain like Ctrl-C does: raise
+    # KeyboardInterrupt out of serve_forever so the finally block runs
+    # httpd.shutdown() + service.stop() (stop() serves what's queued —
+    # test_stop_serves_already_submitted_requests)
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -297,18 +297,23 @@ def test_hot_swap_under_traffic(serve_setup):
             t.join()
 
 
-def test_serve_cli_build_service(tmp_path, tiny_model_cfg, tiny_data_cfg,
-                                 reference_vocab_path, rng):
-    """The CLI wiring end-to-end with a tiny injected model: train a
-    checkpoint, build the service through parsed args (tokenizer, ckpt
-    load, table load, bucket parsing), serve one HTTP request."""
+@pytest.fixture(scope="module")
+def cli_artifacts(tmp_path_factory, request):
+    """Tiny CLI-loadable artifacts shared by the CLI-wiring tests: a
+    trained checkpoint (via the real train CLI), an emb-table pkl, and
+    the records that produced them."""
     import dataclasses
     import pickle
 
     from mmtg_tpu.configs import GPT2Config
     from mmtg_tpu.data import make_synthetic_records
-    from mmtg_tpu.serve import build_arg_parser, build_service
     from mmtg_tpu.train import main as train_main
+
+    tiny_model_cfg = request.getfixturevalue("tiny_model_cfg")
+    tiny_data_cfg = request.getfixturevalue("tiny_data_cfg")
+    reference_vocab_path = request.getfixturevalue("reference_vocab_path")
+    rng = np.random.default_rng(21)
+    tmp_path = tmp_path_factory.mktemp("serve_cli")
 
     records = make_synthetic_records(8, rng,
                                      emb_size=tiny_data_cfg.wenlan_emb_size)
@@ -338,11 +343,30 @@ def test_serve_cli_build_service(tmp_path, tiny_model_cfg, tiny_data_cfg,
          "--dtype", "float32", "--mesh_data", "1", "--mesh_model", "1"],
         mcfg=mcfg, dcfg=tiny_data_cfg,
     )
+    return {
+        "ckpt": str(save),
+        "emb_pkl": str(emb_pkl),
+        "vocab": reference_vocab_path,
+        "records": records,
+        "mcfg": mcfg,
+        "dcfg": tiny_data_cfg,
+    }
+
+
+def test_serve_cli_build_service(cli_artifacts):
+    """The CLI wiring end-to-end with a tiny injected model: train a
+    checkpoint, build the service through parsed args (tokenizer, ckpt
+    load, table load, bucket parsing), serve one HTTP request."""
+    from mmtg_tpu.serve import build_arg_parser, build_service
+
+    a = cli_artifacts
+    mcfg, tiny_data_cfg, records = a["mcfg"], a["dcfg"], a["records"]
+    reference_vocab_path = a["vocab"]
 
     args = build_arg_parser().parse_args(
-        ["--model_path", str(save),
+        ["--model_path", a["ckpt"],
          "--tokenizer_path", reference_vocab_path,
-         "--token_emb_path", str(emb_pkl),
+         "--token_emb_path", a["emb_pkl"],
          "--buckets", "2,4", "--max_wait_ms", "0"]
     )
     service, tok = build_service(args, mcfg=mcfg, dcfg=tiny_data_cfg)
@@ -370,6 +394,77 @@ def test_serve_cli_build_service(tmp_path, tiny_model_cfg, tiny_data_cfg,
             httpd.shutdown()
     finally:
         service.stop()
+
+
+def test_sigterm_graceful_drain(cli_artifacts):
+    """`main()` under SIGTERM (what systemd/k8s send on stop) behaves like
+    Ctrl-C: serve_forever unwinds, queued work is served, main returns.
+    Runs the real CLI entry in the pytest main thread (signal handlers
+    require it) with a helper thread playing the client + init system."""
+    import os
+    import signal
+    import socket
+
+    from mmtg_tpu.serve import main as serve_main
+
+    a = cli_artifacts
+    # pre-pick a free port: main(port=0) would bind fine but the helper
+    # thread has no way to learn the ephemeral port it got
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    result: dict = {}
+
+    def client_and_terminate():
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    if json.loads(r.read()) == {"ok": True}:
+                        break
+            except OSError:
+                time.sleep(0.2)
+        else:  # pragma: no cover - diagnostics on hang
+            result["error"] = "server never became healthy"
+            os.kill(os.getpid(), signal.SIGTERM)
+            return
+        from mmtg_tpu.data import MMTGDataset
+        from mmtg_tpu.tokenizer import WordPieceTokenizer
+
+        wp = WordPieceTokenizer.from_file(a["vocab"])
+        ds = MMTGDataset.from_records(a["records"], wp, a["dcfg"],
+                                      if_train=False)
+        row = {k: np.asarray(v).tolist() for k, v in ds[0].items()}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"sample": row, "seed": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            result["tokens"] = json.loads(r.read())["tokens"]
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    prev = signal.getsignal(signal.SIGTERM)
+    helper = threading.Thread(target=client_and_terminate)
+    helper.start()
+    try:
+        serve_main(
+            ["--model_path", a["ckpt"],
+             "--tokenizer_path", a["vocab"],
+             "--token_emb_path", a["emb_pkl"],
+             "--buckets", "2", "--max_wait_ms", "0",
+             "--host", "127.0.0.1", "--port", str(port)],
+            mcfg=a["mcfg"], dcfg=a["dcfg"],
+        )  # returning at all IS the assertion that SIGTERM drains cleanly
+    finally:
+        helper.join(timeout=60)
+        signal.signal(signal.SIGTERM, prev)
+    assert "error" not in result, result
+    assert len(result["tokens"]) == a["dcfg"].max_seq_length + 1
+    assert not helper.is_alive()
 
 
 def test_http_front(serve_setup, tokenizer):
@@ -403,6 +498,40 @@ def test_http_front(serve_setup, tokenizer):
             np.testing.assert_array_equal(np.asarray(out["tokens"]), direct[0])
             assert "text" in out and isinstance(out["text"], str)
 
+            # binary npz body: same (sample, seed) -> byte-identical tokens,
+            # and the payload is a fraction of the JSON size
+            from mmtg_tpu.serve import NPZ_CONTENT_TYPE, encode_request_npz
+
+            nbody = encode_request_npz(samples[0], seed=5)
+            assert len(nbody) < len(body)
+            nreq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=nbody,
+                headers={"Content-Type": NPZ_CONTENT_TYPE},
+            )
+            with urllib.request.urlopen(nreq, timeout=600) as r:
+                nout = json.loads(r.read())
+            assert nout["tokens"] == out["tokens"]
+
+            # npz auto-detection by zip magic (generic content type)
+            nreq2 = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=nbody,
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            with urllib.request.urlopen(nreq2, timeout=600) as r:
+                assert json.loads(r.read())["tokens"] == out["tokens"]
+
+            # truncated npz -> 400, not a dropped socket / 500
+            corrupt = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=nbody[:100],
+                headers={"Content-Type": NPZ_CONTENT_TYPE},
+            )
+            try:
+                urllib.request.urlopen(corrupt, timeout=30)
+                code = 200
+            except urllib.error.HTTPError as e:
+                code = e.code
+            assert code == 400
+
             bad = urllib.request.Request(
                 f"http://127.0.0.1:{port}/generate",
                 data=json.dumps({"sample": {}}).encode(),
@@ -430,6 +559,42 @@ def test_http_front(serve_setup, tokenizer):
             assert "# TYPE mmtg_requests_total counter" in text
         finally:
             httpd.shutdown()
+
+
+def test_npz_request_codec_roundtrip():
+    """Pure codec: arrays round-trip bit-exactly, meta defaults match the
+    JSON path (seed 0 / timeout 600 / text True), pickles are refused."""
+    from mmtg_tpu.serve import decode_request_npz, encode_request_npz
+
+    rng = np.random.default_rng(0)
+    sample = {
+        "topic_ids": rng.integers(0, 100, 15).astype(np.int32),
+        "tpw_attention_mask": np.ones(15, np.int32),
+        "tpw_type_ids": np.zeros(15, np.int32),
+        "topic_emb": rng.standard_normal(32).astype(np.float32),
+        "img_embs": rng.standard_normal((5, 32)).astype(np.float32),
+        "r_embs": rng.standard_normal((5, 32)).astype(np.float32),
+    }
+    got, meta = decode_request_npz(encode_request_npz(sample))
+    assert meta == {"seed": 0, "timeout": 600.0, "text": True}
+    assert set(got) == set(sample)
+    for k in sample:
+        np.testing.assert_array_equal(got[k], sample[k])
+        assert got[k].dtype == sample[k].dtype
+
+    _, meta = decode_request_npz(
+        encode_request_npz(sample, seed=42, timeout=5.0, text=False))
+    assert meta == {"seed": 42, "timeout": 5.0, "text": False}
+
+    # an object-array payload must not deserialize (allow_pickle=False)
+    import io
+
+    buf = io.BytesIO()
+    # savez itself pickles object arrays by default; the *decoder* must
+    # refuse to unpickle them
+    np.savez(buf, evil=np.asarray({"a": 1}, dtype=object))
+    with pytest.raises(ValueError):
+        decode_request_npz(buf.getvalue())
 
 
 def test_prometheus_metrics_renders_stats():
