@@ -11,8 +11,10 @@ with ``--make-synthetic-ckpt``):
   1. import the ``.pth`` into our JAX param tree
      (``checkpoint.load_reference_checkpoint``, handles the DataParallel
      ``module.`` prefix — reference ``generate.py:188-192`` load path);
-  2. load the SAME state dict into a torch/HF oracle with the
-     reference's module layout (``mmtg_tpu.oracle``);
+  2. load the SAME state dict into the torch side: either the rebuilt
+     torch/HF oracle (``mmtg_tpu.oracle``, default) or — the stronger
+     check — the reference's OWN ``model.py`` imported verbatim from the
+     mount (``--oracle reference-src``, ``mmtg_tpu.ref_source``);
   3. forward fixture batches through both and print a max-abs-diff JSON
      line; exit nonzero if above ``--atol``.
 
@@ -50,6 +52,13 @@ def main() -> None:
                         "order differs between XLA and torch)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                    help="cpu (default) = deterministic f32 parity")
+    p.add_argument("--oracle", default="reconstruction",
+                   choices=["reconstruction", "reference-src"],
+                   help="torch side: our rebuilt oracle (mmtg_tpu.oracle) "
+                        "or the reference's own model.py imported from "
+                        "/root/reference/src (mmtg_tpu.ref_source)")
+    p.add_argument("--reference_src", default="/root/reference/src",
+                   help="reference source dir for --oracle reference-src")
     p.add_argument("--branch", default="all",
                    choices=["train", "infer", "decode", "all"],
                    help="parity surface: teacher-forced train forward "
@@ -76,7 +85,7 @@ def main() -> None:
     from mmtg_tpu.configs import DataConfig, ModelConfig
     from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
     from mmtg_tpu.models.mmtg import mmtg_forward_train
-    from mmtg_tpu.oracle import build_oracle, oracle_forward
+    from mmtg_tpu.oracle import build_oracle, oracle_forward, oracle_forward_infer
     from mmtg_tpu.tokenizer import WordPieceTokenizer
 
     mcfg, dcfg = ModelConfig(), DataConfig()
@@ -98,22 +107,60 @@ def main() -> None:
 
     # both sides from the SAME .pth
     params = load_reference_checkpoint(args.ckpt, mcfg)
-    oracle = build_oracle(mcfg)
     raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = raw["model"] if isinstance(raw, dict) and "model" in raw else raw
     sd = {k[len("module."):] if k.startswith("module.") else k: v
           for k, v in sd.items()}
-    missing, unexpected = oracle.load_state_dict(sd, strict=False)
+
+    if args.oracle == "reference-src":
+        from mmtg_tpu import ref_source
+
+        torch_model = ref_source.build_reference_mmtg(
+            mcfg, dcfg, table, train_branch=True, src_dir=args.reference_src
+        )
+    else:
+        torch_model = build_oracle(mcfg)
+    missing, unexpected = torch_model.load_state_dict(sd, strict=False)
     # HF buffers (attn.bias etc.) are regenerated; real params must all load
     missing = [k for k in missing if not k.endswith((".attn.bias", ".attn.masked_bias"))]
     if missing:
         raise SystemExit(f"oracle missing params from ckpt: {missing[:5]}...")
 
+    def torch_fwd_train(batch):
+        """→ (logits np [B, prompt+T, V], kl float), dropout off."""
+        if args.oracle == "reference-src":
+            from mmtg_tpu import ref_source
+
+            torch_model.train_flag = True
+            logits, kl, _ = ref_source.reference_forward(torch_model, batch)
+            return logits, kl
+        with torch.no_grad():
+            logits, kl = oracle_forward(
+                torch_model, mcfg, dcfg, batch, table, mcfg.self_att_heads
+            )
+        return logits.numpy(), float(kl)
+
+    def torch_fwd_infer(batch, prefix):
+        """→ logits np for the inference branch on a decode prefix."""
+        if args.oracle == "reference-src":
+            from mmtg_tpu import ref_source
+
+            torch_model.train_flag = False
+            logits, _, _ = ref_source.reference_forward(
+                torch_model, batch, targets=prefix
+            )
+            return logits
+        with torch.no_grad():
+            return oracle_forward_infer(
+                torch_model, mcfg, dcfg, batch, table, prefix
+            ).numpy()
+
     # if_train=False: test pkls carry no ratings; targets are still built
     ds = MMTGDataset(args.data, tokenizer, dcfg, if_train=False)
     const = {"wenlan_table": jnp.asarray(table)}
 
-    report = {"ckpt": args.ckpt, "atol": args.atol, "branches": {}}
+    report = {"ckpt": args.ckpt, "atol": args.atol, "oracle": args.oracle,
+              "branches": {}}
     worst = 0.0
 
     if args.branch in ("train", "all"):
@@ -122,15 +169,12 @@ def main() -> None:
             if bi >= args.max_batches:
                 break
             batch.pop("sample_mask", None)
-            with torch.no_grad():
-                ref_logits, ref_kl = oracle_forward(
-                    oracle, mcfg, dcfg, batch, table, mcfg.self_att_heads
-                )
+            ref_logits, ref_kl = torch_fwd_train(batch)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             out = mmtg_forward_train(params, const, mcfg, dcfg, jb,
                                      deterministic=True)
-            diff = np.abs(np.asarray(out.logits) - ref_logits.numpy())
-            kl_diff = abs(float(out.kl_per_sample.mean()) - float(ref_kl))
+            diff = np.abs(np.asarray(out.logits) - ref_logits)
+            kl_diff = abs(float(out.kl_per_sample.mean()) - ref_kl)
             results.append(
                 {"batch": bi, "max_abs_logits_diff": float(diff.max()),
                  "mean_abs_logits_diff": float(diff.mean()),
@@ -146,7 +190,6 @@ def main() -> None:
         from mmtg_tpu.configs import GenerateConfig
         from mmtg_tpu.decoding import teacher_forced_decode_logits
         from mmtg_tpu.models.mmtg import mmtg_forward_infer
-        from mmtg_tpu.oracle import oracle_forward_infer
 
         # batch 1: the reference's inference branch peeks at element 0
         batch = next(ds.batches(1))
@@ -157,14 +200,11 @@ def main() -> None:
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
         if args.branch in ("infer", "all"):
-            with torch.no_grad():
-                ref = oracle_forward_infer(
-                    oracle, mcfg, dcfg, batch, table, tokens
-                )
+            ref = torch_fwd_infer(batch, tokens)
             jb_prefix = dict(jb, targets=jnp.asarray(tokens))
             out = mmtg_forward_infer(params, const, mcfg, dcfg, jb_prefix,
                                      type_id_scheme="reference_infer")
-            d = float(np.abs(np.asarray(out.logits) - ref.numpy()).max())
+            d = float(np.abs(np.asarray(out.logits) - ref).max())
             report["branches"]["infer"] = {
                 "max_abs_logits_diff": d, "prefix_len": K,
             }
@@ -177,15 +217,12 @@ def main() -> None:
                 params, const, mcfg, dcfg, gcfg, jb, jnp.asarray(tokens)
             ))
             d, per_prefix = 0.0, []
-            with torch.no_grad():
-                for j in range(0, K, max(K // 6, 1)):
-                    ref = oracle_forward_infer(
-                        oracle, mcfg, dcfg, batch, table, tokens[:, : j + 1]
-                    )
-                    dj = float(np.abs(ours[:, j] - ref[:, -1].numpy()).max())
-                    per_prefix.append({"prefix_len": j + 1,
-                                       "max_abs_logits_diff": dj})
-                    d = max(d, dj)
+            for j in range(0, K, max(K // 6, 1)):
+                ref = torch_fwd_infer(batch, tokens[:, : j + 1])
+                dj = float(np.abs(ours[:, j] - ref[:, -1]).max())
+                per_prefix.append({"prefix_len": j + 1,
+                                   "max_abs_logits_diff": dj})
+                d = max(d, dj)
             report["branches"]["decode"] = {
                 "max_abs_logits_diff": d, "per_prefix": per_prefix,
             }
