@@ -233,6 +233,18 @@ def main() -> None:
             "device": str(dev),
         },
     }
+    # machine-checkable roofline accounting (utils/roofline.py): modeled
+    # HBM bytes of the decode loop ÷ measured wall ÷ chip peak. The
+    # marginal cache-stream term alone runs AT the roofline (docs/PERF.md
+    # length-sweep fit); whole-call utilization is lower because the
+    # per-call fixed cost and compute-bound glue are real (and measured).
+    from mmtg_tpu.utils.roofline import decode_hbm_util
+
+    result["detail"]["roofline"] = decode_hbm_util(
+        mcfg, dcfg, B, gcfg.length, dt, dev.device_kind,
+        cache_dtype=args.cache_dtype, weight_dtype=args.weight_dtype,
+        model_dtype=args.dtype,
+    )
     print(json.dumps(result))
 
 

@@ -155,6 +155,16 @@ def main() -> None:
             "device": str(jax.devices()[0].device_kind),
         },
     }
+    # machine-checkable MFU (utils/roofline.py): model FLOPs (fwd+bwd,
+    # standard convention) ÷ step wall ÷ bf16 peak; hw_flops_util adds
+    # the remat re-forward the chip actually executes. BASELINE.md's
+    # "≤10 ms @ b256" reconciliation derives from the same numbers.
+    from mmtg_tpu.utils.roofline import train_mfu
+
+    out["detail"]["roofline"] = train_mfu(
+        mcfg, dcfg, B, dt, jax.devices()[0].device_kind,
+        remat=tcfg.remat,
+    )
     line = json.dumps(out)
     print(line)
     if args.round:
