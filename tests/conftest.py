@@ -87,21 +87,13 @@ def _clear_jax_caches_between_modules():
     jax.clear_caches()
 
 
-def pytest_collection_modifyitems(config, items):
-    """Run test_zero1 FIRST.
-
-    The full suite deterministically SIGABRTs (no C++ message) inside
-    test_zero1_step_matches_replicated[(4,2)] when that module runs LAST
-    after hundreds of compiled programs — twice at the exact same test
-    position, with jax.clear_caches() between modules making no
-    difference. The module is green standalone, green in every smaller
-    batch, and the minimal repro (pipeline+sharding+grad_accum+train+
-    zero1) flips to 44-passed when zero1 runs first, so this is a
-    cumulative jaxlib CPU-runtime host-state issue around late big
-    sharded compiles, not a numerics defect. Hoisting the module is the
-    working mitigation; drop this hook when jaxlib fixes it.
-    """
-    zero1 = [i for i in items if "test_zero1" in str(i.fspath)]
-    if zero1:
-        rest = [i for i in items if "test_zero1" not in str(i.fspath)]
-        items[:] = zero1 + rest
+# tests/isolated/ holds modules whose big sharded compiles deterministically
+# SIGABRT the jaxlib CPU runtime when they run LATE in a long pytest process
+# (r03 bisect: test_zero1's (4,2)-mesh compile after hundreds of compiled
+# programs aborts; the same module is green standalone and in any smaller
+# batch — a cumulative host-state issue, not numerics). They run in a FRESH
+# subprocess via tests/test_isolated_modules.py, which is ordering-immune —
+# the r03 mitigation (a pytest_collection_modifyitems hoist) is gone.
+# MMTG_RUN_ISOLATED=1 marks that child process; only then are they collected
+# in-process.
+collect_ignore = [] if os.environ.get("MMTG_RUN_ISOLATED") else ["isolated"]
