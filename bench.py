@@ -42,8 +42,10 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--cache-dtype", default="int8", choices=["model", "int8", "int4"],
                     help="int8 KV cache is the serving default (1.66x)")
-    ap.add_argument("--weight-dtype", default="model", choices=["model", "int8"],
-                    help="decode-matmul weight precision (weight-only int8)")
+    ap.add_argument("--weight-dtype", default="auto",
+                    choices=["auto", "model", "int8"],
+                    help="decode-matmul weight precision (weight-only int8; "
+                         "auto = int8 for B<=32, model above)")
     ap.add_argument("--attn-impl", default="auto",
                     choices=["auto", "pallas", "fused", "xla"],
                     help="decode attention: per-layer Pallas kernels, the "
@@ -66,7 +68,7 @@ def main() -> None:
     enable_compilation_cache()
 
     from mmtg_tpu.configs import DataConfig, GenerateConfig, ModelConfig
-    from mmtg_tpu.decoding import generate, resolve_attn_impl
+    from mmtg_tpu.decoding import generate, resolve_attn_impl, resolve_weight_dtype
     from mmtg_tpu.models.mmtg import init_mmtg_params, mmtg_forward_infer
     from mmtg_tpu.ops.sampling import sample_next_token
     from mmtg_tpu.configs import SpecialTokens
@@ -208,12 +210,13 @@ def main() -> None:
             "length": gcfg.length,
             "dtype": args.dtype,
             "cache_dtype": args.cache_dtype,
-            "weight_dtype": args.weight_dtype,
-            # the EFFECTIVE implementation (scope gates can silently
-            # downgrade e.g. fused -> pallas; a saved bench line must
+            # the EFFECTIVE precisions/implementations (auto/scope gates
+            # can silently resolve or downgrade; a saved bench line must
             # record what actually ran)
+            "weight_dtype": resolve_weight_dtype(gcfg, B),
+            "weight_dtype_requested": args.weight_dtype,
             "attn_impl": resolve_attn_impl(
-                gcfg, mcfg.gpt2.n_embd
+                gcfg, mcfg.gpt2.n_embd, batch_size=B
             ),
             "attn_impl_requested": args.attn_impl,
             "decode_wall_s": round(dt, 3),
@@ -242,7 +245,8 @@ def main() -> None:
 
     result["detail"]["roofline"] = decode_hbm_util(
         mcfg, dcfg, B, gcfg.length, dt, dev.device_kind,
-        cache_dtype=args.cache_dtype, weight_dtype=args.weight_dtype,
+        cache_dtype=args.cache_dtype,
+        weight_dtype=resolve_weight_dtype(gcfg, B),
         model_dtype=args.dtype,
     )
     print(json.dumps(result))

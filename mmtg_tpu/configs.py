@@ -234,11 +234,17 @@ class GenerateConfig:
     # 'approx' (lax.approx_max_k recall 0.99 — the TPU partial-reduce
     # path; ~1% of near-tie top-k entries may swap).
     topk_impl: str = "exact"
-    # Decode-matmul weight precision: 'model' or 'int8' (weight-only
-    # per-output-channel quantization, gpt2.quantize_decode_weights —
-    # halves the per-layer glue's weight HBM traffic; prefill and the
-    # embedding gathers keep full precision).
-    weight_dtype: str = "model"
+    # Decode-matmul weight precision: 'auto' | 'model' | 'int8'
+    # (weight-only per-output-channel quantization,
+    # gpt2.quantize_decode_weights — halves the per-layer glue's weight
+    # HBM traffic; prefill and the embedding gathers keep full
+    # precision). 'auto' resolves per decode batch
+    # (decoding.resolve_weight_dtype): int8 for B ≤ 32 — the latency
+    # regime, where each step's cost IS the weight read (tools/
+    # bench_latency.py) and quality is measured equal (docs/PERF.md) —
+    # 'model' for large batches (weights amortize across rows; keeps the
+    # megakernel in scope).
+    weight_dtype: str = "auto"
 
 
 def english_variant(

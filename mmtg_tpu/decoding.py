@@ -88,8 +88,32 @@ def _clear_cache():
 generate.clear_cache = _clear_cache
 
 
+def resolve_weight_dtype(gcfg: GenerateConfig, batch_size: int,
+                         tp_axis: str | None = None) -> str:
+    """The EFFECTIVE decode weight precision. ``'auto'`` → ``'int8'``
+    for B ≤ 32: in the latency regime every decode step re-reads the
+    full weight set for a handful of rows, so step time ≈ the weight
+    read and halving the bytes halves the step (measured:
+    tools/bench_latency.py, quality parity in docs/PERF.md). Large
+    batches amortize weights across rows → ``'model'`` (int8 was +1-2%
+    at b512 but takes the megakernel out of scope).
+
+    Valid under tensor parallelism too: quantization inside the TP
+    shard_map pmaxes the row-parallel scales over the model axis
+    (``gpt2.quantize_decode_weights(scale_axis=...)``), so the sharded
+    int8 decode reproduces the unsharded one and the mesh-shape
+    invariance of :func:`generate_sharded` holds. ``tp_axis`` is kept in
+    the signature for config-reporting symmetry; it does not change the
+    resolution."""
+    del tp_axis
+    if gcfg.weight_dtype != "auto":
+        return gcfg.weight_dtype
+    return "int8" if batch_size <= 32 else "model"
+
+
 def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
-                      tp_axis: str | None = None) -> str:
+                      tp_axis: str | None = None,
+                      batch_size: int | None = None) -> str:
     """The EFFECTIVE decode-attention implementation after the platform
     and scope gates — the exact resolution ``_generate_jit`` applies.
     Callers that *report* a configuration (bench.py JSON lines) must use
@@ -103,10 +127,14 @@ def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
             "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         )
     d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
+    # 'auto' weights resolve per batch; without a batch (config-only
+    # reporting) assume the large-batch resolution ('model').
+    wd = (resolve_weight_dtype(gcfg, batch_size) if batch_size is not None
+          else ("model" if gcfg.weight_dtype == "auto" else gcfg.weight_dtype))
     if attn_impl == "fused" and not (
         gcfg.cache_dtype == "int8"
         and not gcfg.merged_kv
-        and gcfg.weight_dtype != "int8"
+        and wd != "int8"
         and tp_axis is None
         and d_kv % 128 == 0
     ):
@@ -161,7 +189,8 @@ def _generate_jit(
     length = gcfg.length
     capacity = _round_up(P + length + 1, 128)
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
-    attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis)
+    attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis, batch_size=B)
+    weight_dtype = resolve_weight_dtype(gcfg, B, tp_axis)
     # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
     # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
     # CLI) up to a multiple of 8 and slice the tokens back at the end.
@@ -218,10 +247,12 @@ def _generate_jit(
     # weight-only int8 for the 220-step decode loop (prefill above ran at
     # full precision); quantization happens ONCE per generate call
     gpt2_params = params["gpt2"]
-    if gcfg.weight_dtype == "int8":
+    if weight_dtype == "int8":
         from mmtg_tpu.models.gpt2 import quantize_decode_weights
 
-        gpt2_params = quantize_decode_weights(gpt2_params)
+        # scale_axis: under TP the row-parallel scales pmax over the
+        # model axis so sharded quantization equals the global one
+        gpt2_params = quantize_decode_weights(gpt2_params, scale_axis=tp_axis)
 
     # merged-KV storage: pack k||v into one [L, B, T, 2D] buffer (one
     # tile DMA per kernel sub-tile instead of two; bit-identical —
@@ -481,6 +512,16 @@ def generate_sharded(
     )
 
     tp = mesh.shape[MODEL_AXIS]
+    # 'auto' weights resolve from the GLOBAL batch here (inside the
+    # shard_map each data shard would only see batch/data rows, flipping
+    # the 32-row threshold with mesh shape — the outputs must not).
+    if gcfg.weight_dtype == "auto":
+        gcfg = dataclasses.replace(
+            gcfg,
+            weight_dtype=resolve_weight_dtype(
+                gcfg, batch["topic_ids"].shape[0]
+            ),
+        )
     batch_spec = {k: P(DATA_AXIS) for k in batch}
     seed_specs = () if row_seeds is None else (P(DATA_AXIS),)
     seed_args = () if row_seeds is None else (row_seeds,)

@@ -793,9 +793,9 @@ def import_hf_gpt2(state_dict, cfg: GPT2Config, prefix: str = "") -> Dict:
     }
 
 
-def quantize_decode_weights(params: Dict) -> Dict:
-    """Weight-only int8 for the decode hot path (opt-in via
-    ``GenerateConfig.weight_dtype="int8"``).
+def quantize_decode_weights(params: Dict, scale_axis: Optional[str] = None) -> Dict:
+    """Weight-only int8 for the decode hot path (default at decode
+    batches ≤ 32 via ``GenerateConfig.weight_dtype="auto"``).
 
     Per-OUTPUT-channel symmetric abs-max quantization of the four glue
     matmuls (stacked ``[L, in, out]`` → scales ``[L, 1, out]``) and the
@@ -805,12 +805,23 @@ def quantize_decode_weights(params: Dict) -> Dict:
     its memory floor at decode batch sizes. The original full-precision
     weights stay in the tree: prefill, the type-id ``wte`` gather and the
     ``wpe`` add keep full precision (one-time / tiny-row reads).
+
+    ``scale_axis``: when quantizing INSIDE a tensor-parallel shard_map
+    (``generate_sharded``), the row-parallel projections (in-sharded
+    ``attn_proj_w`` / ``mlp_proj_w``) see only their input-row slice, so
+    their local abs-max would differ from the global one — different
+    numerics per mesh shape. A ``pmax`` over the model axis restores the
+    exact global scales (column-parallel weights shard whole output
+    channels, so their per-channel scales are already global).
     """
     out = dict(params)
     h = dict(params["h"])
     for key in ("attn_w", "attn_proj_w", "mlp_fc_w", "mlp_proj_w"):
         w = h[key].astype(jnp.float32)  # [L, in, out]
-        s = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True), 1e-8) / 127.0
+        absmax = jnp.max(jnp.abs(w), axis=1, keepdims=True)
+        if scale_axis is not None and key in ("attn_proj_w", "mlp_proj_w"):
+            absmax = jax.lax.pmax(absmax, scale_axis)
+        s = jnp.maximum(absmax, 1e-8) / 127.0
         h[key + "_q"] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
         h[key + "_s"] = s
     out["h"] = h

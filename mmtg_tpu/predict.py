@@ -38,8 +38,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--repetition_penalty", default=1.5, type=float)
     p.add_argument("--n_samples", default=5, type=int)
     p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"])
-    p.add_argument("--weight_dtype", default="model", choices=["model", "int8"],
-                   help="decode-matmul weight precision (weight-only int8)")
+    p.add_argument("--weight_dtype", default="auto",
+                   choices=["auto", "model", "int8"],
+                   help="decode-matmul weight precision; 'auto' → int8 at "
+                        "REPL batch sizes (n_samples <= 32: the "
+                        "weight-read-bound latency regime)")
     p.add_argument("--topk_impl", default="exact", choices=["exact", "approx"])
     p.add_argument("--attn_impl", default="auto",
                    choices=["auto", "pallas", "fused", "xla"],

@@ -176,7 +176,11 @@ def test_generate_engine_fused_runs(params, monkeypatch):
     monkeypatch.setattr(decode_megakernel, "INTERPRET", True)
     mcfg = ModelConfig(gpt2=CFG)
     dcfg = DataConfig()
-    gcfg = GenerateConfig(attn_impl="fused", cache_dtype="int8", length=45)
+    # weight_dtype pinned to 'model': the fused megakernel is gated to
+    # full-precision weights, and the 'auto' default resolves to int8 at
+    # this batch size — which would (correctly) downgrade fused→pallas
+    gcfg = GenerateConfig(attn_impl="fused", cache_dtype="int8", length=45,
+                          weight_dtype="model")
     rng = np.random.default_rng(0)
     params_m = init_mmtg_params(jax.random.PRNGKey(0), mcfg)
     const = {

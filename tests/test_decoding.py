@@ -170,13 +170,40 @@ def gen_setup(request):
 
 
 def test_cached_decode_matches_reference_style(gen_setup):
+    # weight_dtype="model": this asserts EXACT token equality of the
+    # KV-cached engine vs the per-token full re-forward, so both sides
+    # must run full-precision weights (the 'auto' default resolves to
+    # int8 at this batch size — covered by its own test below).
     params, const, mcfg, dcfg, jb = gen_setup
     gcfg = GenerateConfig(length=46, top_k=8, top_p=0.7, temperature=1.1,
-                          repetition_penalty=1.5)
+                          repetition_penalty=1.5, weight_dtype="model")
     rng = jax.random.PRNGKey(11)
     fast = np.asarray(generate(params, const, mcfg, dcfg, gcfg, jb, rng))
     slow = _reference_style_decode(params, const, mcfg, dcfg, gcfg, jb, rng)
     np.testing.assert_array_equal(fast, slow)
+
+
+def test_auto_weight_dtype_resolution(gen_setup):
+    """'auto' → int8 at B ≤ 32 (the latency regime), model above; and the
+    auto decode is token-identical to an explicit-int8 decode."""
+    from mmtg_tpu.decoding import resolve_weight_dtype
+
+    params, const, mcfg, dcfg, jb = gen_setup
+    auto = GenerateConfig(length=46, top_k=8)
+    assert auto.weight_dtype == "auto"
+    assert resolve_weight_dtype(auto, 1) == "int8"
+    assert resolve_weight_dtype(auto, 32) == "int8"
+    assert resolve_weight_dtype(auto, 64) == "model"
+    assert resolve_weight_dtype(
+        GenerateConfig(weight_dtype="model"), 1) == "model"
+
+    rng = jax.random.PRNGKey(11)
+    got = np.asarray(generate(params, const, mcfg, dcfg, auto, jb, rng))
+    explicit = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, weight_dtype="int8"), jb, rng,
+    ))
+    np.testing.assert_array_equal(got, explicit)
 
 
 def test_generated_frame_structure(gen_setup):
