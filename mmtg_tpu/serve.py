@@ -170,12 +170,38 @@ class GenerationService:
                     f"buckets {bad} not divisible by the mesh data axis ({dp})"
                 )
         self.mesh = mesh
+        if mesh is not None:
+            # checkpoint-restored params arrive committed to ONE device
+            # (Orbax restores SingleDeviceSharding); shard_map over the
+            # mesh rejects that placement. Replicate params+const over
+            # the mesh up front — generate_sharded's in_specs then
+            # reshard (TP splits) lazily via GSPMD.
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            repl = NamedSharding(mesh, _P())
+            params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+            const = jax.tree.map(lambda x: jax.device_put(x, repl), const)
         self.params = params
         self.const = const
         self.mcfg = mcfg
         self.dcfg = dcfg
-        self.gcfg = gcfg
         self.buckets = tuple(int(b) for b in buckets)
+        if gcfg.weight_dtype == "auto":
+            # resolve ONCE from the LARGEST bucket: every bucket must
+            # share one weight precision or the same (request, seed)
+            # would decode differently depending on which bucket its
+            # window landed in — breaking batch-composition invariance
+            # (test_row_seeds_batch_composition_invariance)
+            import dataclasses
+
+            from mmtg_tpu.decoding import resolve_weight_dtype
+
+            gcfg = dataclasses.replace(
+                gcfg,
+                weight_dtype=resolve_weight_dtype(gcfg, max(self.buckets)),
+            )
+        self.gcfg = gcfg
         self.max_wait_ms = float(max_wait_ms)
         self._rng = jax.random.PRNGKey(base_seed)
         self.max_queue_depth = int(max_queue_depth)
@@ -187,6 +213,9 @@ class GenerationService:
         self._thread: Optional[threading.Thread] = None
         self._collector: Optional[threading.Thread] = None
         self._stopping = False
+        # set when the batcher thread dies on an escaped error: submit()
+        # then fails fast with the cause instead of queueing into a void
+        self._engine_error: Optional[BaseException] = None
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0,
@@ -281,6 +310,11 @@ class GenerationService:
         self._validate(sample)
         if self._thread is None or self._stopping:
             raise RuntimeError("service not started or stopping")
+        if self._engine_error is not None or not self._thread.is_alive():
+            raise RuntimeError(
+                f"engine is down (batcher thread dead): {self._engine_error!r}"
+                " — restart the service"
+            )
         if self._queue.qsize() >= self.max_queue_depth:
             with self._lock:
                 self._stats["rejected"] += 1
@@ -296,6 +330,15 @@ class GenerationService:
             seed -= 2**32
         self._queue.put(_Pending({k: np.asarray(sample[k]) for k in SAMPLE_KEYS},
                                  seed, fut))
+        if self._engine_error is not None or not self._thread.is_alive():
+            # closes the enqueue/death race: if the engine died between
+            # the liveness check above and our put, the crash path's
+            # queue drain may already have run — sweep again so THIS
+            # request cannot hang on a dead engine
+            self._fail_queued(
+                f"engine died before decoding this request: "
+                f"{self._engine_error!r}"
+            )
         with self._lock:
             self._stats["requests"] += 1
         return fut
@@ -321,9 +364,21 @@ class GenerationService:
         # cast to the serving dtypes: f32 checkpoints into a bf16 serving
         # model is the normal flow, and matching dtypes is what makes the
         # swap recompile-free
-        self.params = jax.tree.map(
+        new_params = jax.tree.map(
             lambda n, o: n.astype(o.dtype), new_params, self.params
         )
+        if self.mesh is not None:
+            # keep the mesh placement contract (__init__): a freshly
+            # restored checkpoint is single-device-committed and would
+            # fail the next sharded window
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            repl = NamedSharding(self.mesh, _P())
+            new_params = jax.tree.map(
+                lambda x: jax.device_put(x, repl), new_params
+            )
+        self.params = new_params
 
     def stats(self) -> Dict:
         with self._lock:
@@ -418,22 +473,46 @@ class GenerationService:
                         self.gcfg, batch, self._rng, row_seeds=seeds)
 
     def _loop(self) -> None:
-        """Dispatch loop: form a window, pack, dispatch the compiled decode
-        and hand the in-flight device result to the collector. On the TPU
-        runtime dispatch returns immediately, so window N+1 packs and
-        launches while window N still decodes (the ``_inflight`` maxsize
-        bounds device queueing to 2 windows); the collector owns the
-        blocking device→host transfer and future resolution."""
+        """Batcher thread body: the dispatch loop plus the crash contract.
+
+        Whatever takes the dispatch loop down — the graceful stop
+        sentinel or an error that escapes its defensive catches (engine
+        death: a poisoned runtime, a BaseException out of the decode
+        dispatch) — the ``finally`` releases the collector (its sentinel)
+        and fails everything still queued, so no client ever hangs on a
+        dead engine and ``stop()`` always joins
+        (tests/test_serve.py::test_engine_death_drains_and_restart_serves).
+        """
+        try:
+            self._dispatch_loop()
+        except BaseException as e:
+            with self._lock:
+                self._stats["errors"] += 1
+            self._engine_error = e
+            raise
+        finally:
+            self._inflight.put(None)
+            # anything still queued fails loudly instead of hanging its
+            # client (_fail_queued respects already-cancelled futures —
+            # set_exception on one would InvalidStateError this thread)
+            self._fail_queued(
+                "engine died before decoding this request: "
+                f"{self._engine_error!r}" if self._engine_error is not None
+                else "service stopped before decoding"
+            )
+
+    def _dispatch_loop(self) -> None:
+        """Form a window, pack, dispatch the compiled decode and hand the
+        in-flight device result to the collector. On the TPU runtime
+        dispatch returns immediately, so window N+1 packs and launches
+        while window N still decodes (the ``_inflight`` maxsize bounds
+        device queueing to 2 windows); the collector owns the blocking
+        device→host transfer and future resolution."""
         while True:
             first = self._queue.get()
             if first is None:
-                # graceful drain: anything still queued after the stop
-                # sentinel fails loudly instead of hanging its client
-                # (_fail_queued respects already-cancelled futures —
-                # set_exception on one would InvalidStateError this thread
-                # to death before the collector gets its sentinel)
-                self._fail_queued("service stopped before decoding")
-                self._inflight.put(None)
+                # graceful drain (stop sentinel); _loop's finally fails
+                # any straggler that raced in behind the sentinel
                 return
             reqs = [first]
             deadline = time.monotonic() + self.max_wait_ms / 1e3
@@ -464,12 +543,20 @@ class GenerationService:
             try:
                 batch, seeds = self._pack(reqs, bucket)
                 tokens = self._decode(batch, seeds)  # async on TPU
-            except Exception as e:  # pragma: no cover - defensive
+            except BaseException as e:
+                # Exception: one bad window — fail ITS requests, keep
+                # serving. BaseException (engine death — a poisoned
+                # runtime): fail the in-flight window FIRST (these reqs
+                # are already dequeued, so _loop's queue drain can't see
+                # them), then let it take the thread down through _loop's
+                # crash path.
                 with self._lock:
                     self._stats["errors"] += 1
                 for r in reqs:
                     r.future.set_exception(e)
-                continue
+                if isinstance(e, Exception):
+                    continue
+                raise
             self._inflight.put((reqs, bucket, tokens))
 
     def _collect_loop(self) -> None:
@@ -699,6 +786,9 @@ def build_service(args, mcfg: ModelConfig | None = None,
                                          gpt2_vocab=len(tokenizer))
         else:
             mcfg, dcfg = ModelConfig(), DataConfig()
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    # 'auto' weights resolve inside GenerationService.__init__ (once per
+    # service, from the largest bucket — see the invariance note there)
     gcfg = GenerateConfig(
         temperature=args.temperature,
         top_k=args.topk,
@@ -711,14 +801,24 @@ def build_service(args, mcfg: ModelConfig | None = None,
         topk_impl=args.topk_impl,
         attn_impl=args.attn_impl,
     )
+    mesh = None
+    if args.mesh_data != 1 or args.mesh_model != 1:
+        # inherited from the generate parser: serve over a (data, model)
+        # mesh — GenerationService validates bucket divisibility and
+        # row-seed invariance keeps responses mesh-shape independent
+        from mmtg_tpu.parallel.mesh import make_mesh
+
+        dp = args.mesh_data or max(len(jax.devices()) // args.mesh_model, 1)
+        mesh = make_mesh((dp, args.mesh_model))
     params = load_params(args.model_path, mcfg)
     table = jnp.asarray(load_token_embedding_table(
         args.token_emb_path, len(tokenizer), dcfg.wenlan_emb_size))
     service = GenerationService(
         params, {"wenlan_table": table}, mcfg, dcfg, gcfg,
-        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        buckets=buckets,
         max_wait_ms=args.max_wait_ms,
         base_seed=args.seed,
+        mesh=mesh,
         max_queue_depth=args.max_queue_depth,
     ).start()
     return service, tokenizer

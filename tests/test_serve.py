@@ -297,6 +297,89 @@ def test_hot_swap_under_traffic(serve_setup):
             t.join()
 
 
+def test_decode_fault_fails_window_cleanly(serve_setup):
+    """Fault injection (docs/OPERATIONS.md drill): a decode fault takes
+    down ONE window — its requests get the exception promptly (no hang),
+    the error is counted, and the batcher survives to serve the next
+    window bit-identically to a healthy engine."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    real_decode = svc._decode
+
+    def faulty(batch, seeds):
+        raise RuntimeError("injected decode fault (drill)")
+
+    with svc:
+        want = np.asarray(svc.generate_sync(samples[0], seed=11))
+        svc._decode = faulty
+        fut = svc.submit(samples[0], seed=12)
+        with pytest.raises(RuntimeError, match="injected decode fault"):
+            fut.result(timeout=60)
+        svc._decode = real_decode
+        got = np.asarray(svc.generate_sync(samples[0], seed=11))
+    np.testing.assert_array_equal(got, want)
+    assert svc.stats()["errors"] >= 1
+
+
+def test_engine_death_drains_and_restart_serves(serve_setup):
+    """Hard engine death mid-traffic (an error that ESCAPES the dispatch
+    loop's defensive catches): queued requests fail cleanly instead of
+    hanging, later submits are rejected with the cause, stop() still
+    joins (the collector gets its sentinel from the crash path), and a
+    restarted engine serves the same request deterministically."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(1,), max_wait_ms=0.0, base_seed=0)
+
+    class EngineDeath(BaseException):
+        # BaseException: models a poisoned runtime the Exception-level
+        # catches in _dispatch_loop deliberately do not swallow
+        pass
+
+    def dying(batch, seeds):
+        raise EngineDeath("injected engine death (drill)")
+
+    svc._decode = dying
+    svc.start()
+    # burst of submits: the first window dies the batcher; every other
+    # request must fail CLEANLY — rejected at the edge (submit raises)
+    # or via the crash path's queue drain (future gets the error) — and
+    # none may hang
+    failures = 0
+    for i in range(4):
+        try:
+            fut = svc.submit(samples[i % len(samples)], seed=20 + i)
+        except RuntimeError:
+            failures += 1
+            continue
+        with pytest.raises((RuntimeError, EngineDeath)):
+            fut.result(timeout=60)
+        failures += 1
+    assert failures == 4
+    # engine is down: submit fails fast with the cause, not a void queue
+    import time as _time
+    deadline = _time.monotonic() + 30
+    while svc._thread.is_alive() and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    with pytest.raises(RuntimeError, match="engine is down"):
+        svc.submit(samples[0], seed=30)
+    svc.stop()  # must not deadlock on the collector join
+
+    # restart drill: a fresh engine over the same weights serves, and the
+    # per-request PRNG contract makes the response identical to a healthy
+    # service that never crashed
+    healthy = GenerationService(params, const, mcfg, dcfg, gcfg,
+                                buckets=(1,), max_wait_ms=0.0, base_seed=0)
+    with healthy:
+        want = np.asarray(healthy.generate_sync(samples[0], seed=31))
+    restarted = GenerationService(params, const, mcfg, dcfg, gcfg,
+                                  buckets=(1,), max_wait_ms=0.0, base_seed=0)
+    with restarted:
+        got = np.asarray(restarted.generate_sync(samples[0], seed=31))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.fixture(scope="module")
 def cli_artifacts(tmp_path_factory, request):
     """Tiny CLI-loadable artifacts shared by the CLI-wiring tests: a
@@ -394,6 +477,57 @@ def test_serve_cli_build_service(cli_artifacts):
             httpd.shutdown()
     finally:
         service.stop()
+
+
+def test_service_resolves_auto_weight_dtype_once(serve_setup):
+    """weight_dtype='auto' resolves ONCE per service from the LARGEST
+    bucket — never per window/bucket, which would decode the same
+    (request, seed) differently by batch composition."""
+    import dataclasses
+
+    params, const, mcfg, dcfg, gcfg, _ = serve_setup
+    auto = dataclasses.replace(gcfg, weight_dtype="auto")
+    small = GenerationService(params, const, mcfg, dcfg, auto,
+                              buckets=(2, 8), max_wait_ms=0.0)
+    assert small.gcfg.weight_dtype == "int8"
+    big = GenerationService(params, const, mcfg, dcfg, auto,
+                            buckets=(2, 8, 48), max_wait_ms=0.0)
+    assert big.gcfg.weight_dtype == "model"
+    pinned = GenerationService(params, const, mcfg, dcfg,
+                               dataclasses.replace(gcfg, weight_dtype="model"),
+                               buckets=(2,), max_wait_ms=0.0)
+    assert pinned.gcfg.weight_dtype == "model"
+
+
+def test_serve_cli_mesh_flags(cli_artifacts):
+    """--mesh_data/--mesh_model (inherited from the generate parser) wire
+    a (data, model) mesh into the service; a served request matches the
+    single-device service bit-exactly (row-seed mesh invariance)."""
+    from mmtg_tpu.serve import build_arg_parser, build_service
+
+    a = cli_artifacts
+    base = ["--model_path", a["ckpt"],
+            "--tokenizer_path", a["vocab"],
+            "--token_emb_path", a["emb_pkl"],
+            "--buckets", "2,4", "--max_wait_ms", "0"]
+    from mmtg_tpu.data import MMTGDataset
+    from mmtg_tpu.tokenizer import WordPieceTokenizer
+
+    wp = WordPieceTokenizer.from_file(a["vocab"])
+    ds = MMTGDataset.from_records(a["records"], wp, a["dcfg"],
+                                  if_train=False)
+    sample = {k: np.asarray(v) for k, v in ds[0].items()}
+
+    outs = []
+    for extra in ([], ["--mesh_data", "2", "--mesh_model", "2"]):
+        args = build_arg_parser().parse_args(base + extra)
+        service, _tok = build_service(args, mcfg=a["mcfg"], dcfg=a["dcfg"])
+        try:
+            assert (service.mesh is None) == (not extra)
+            outs.append(np.asarray(service.generate_sync(sample, seed=5)))
+        finally:
+            service.stop()
+    np.testing.assert_array_equal(outs[0], outs[1])
 
 
 def test_sigterm_graceful_drain(cli_artifacts):
