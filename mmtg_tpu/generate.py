@@ -50,9 +50,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["train", "reference_infer"])
     p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"],
                    help="KV cache precision (int8 halves decode HBM traffic)")
-    p.add_argument("--weight_dtype", default="model", choices=["model", "int8"],
-                   help="decode-matmul weight precision (weight-only int8 "
-                        "halves the glue matmuls' weight reads)")
+    p.add_argument("--weight_dtype", default="auto",
+                   choices=["auto", "model", "int8"],
+                   help="decode-matmul weight precision; 'auto' resolves "
+                        "ONCE per run from the batch size (int8 when "
+                        "batch_size <= 32 — the weight-read-bound latency "
+                        "regime — else model), so every batch of the run "
+                        "samples identically")
     p.add_argument("--topk_impl", default="exact", choices=["exact", "approx"],
                    help="top-k sampling: exact (reference semantics) or the "
                         "TPU's approx partial-reduce (recall 0.99)")
@@ -67,6 +71,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "points at a vocab.json+merges.txt directory")
     p.add_argument("--clip_dim", default=512, type=int,
                    help="CLIP embedding width for --variant english")
+    p.add_argument("--mesh_data", default=1, type=int,
+                   help="data-parallel decode shards (0 = all devices / "
+                        "mesh_model). >1 or with --mesh_model >1 the batch "
+                        "decodes via generate_sharded over a (data, model) "
+                        "mesh — per-row PRNG streams make the outputs "
+                        "invariant to the mesh shape (the TPU answer to the "
+                        "reference's nn.DataParallel, generate.py:191)")
+    p.add_argument("--mesh_model", default=1, type=int,
+                   help="tensor-parallel shards within each data shard "
+                        "(Megatron-style sharded GPT-2 decode)")
     return p
 
 
@@ -130,6 +144,12 @@ def main(argv=None, mcfg: ModelConfig | None = None,
             )
         else:
             mcfg, dcfg = ModelConfig(), DataConfig()
+    # 'auto' weights resolve ONCE per run from the nominal batch size so
+    # ragged tail batches sample with the exact numerics of full ones
+    # (decoding.resolve_weight_dtype would otherwise flip at B=32).
+    weight_dtype = args.weight_dtype
+    if weight_dtype == "auto":
+        weight_dtype = "int8" if args.batch_size <= 32 else "model"
     gcfg = GenerateConfig(
         batch_size=args.batch_size,
         seed=args.seed,
@@ -141,10 +161,26 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         length=dcfg.max_seq_length,
         type_id_scheme=args.type_id_scheme,
         cache_dtype=args.cache_dtype,
-        weight_dtype=args.weight_dtype,
+        weight_dtype=weight_dtype,
         topk_impl=args.topk_impl,
         attn_impl=args.attn_impl,
     )
+
+    mesh = None
+    if args.mesh_data != 1 or args.mesh_model != 1:
+        from mmtg_tpu.parallel.mesh import make_mesh
+
+        dp = args.mesh_data or max(len(jax.devices()) // args.mesh_model, 1)
+        mesh = make_mesh((dp, args.mesh_model))
+        decode_batch = max(args.batch_size // args.n_samples, 1) * args.n_samples
+        if decode_batch % dp:
+            raise ValueError(
+                f"decode batch {decode_batch} (batch_size // n_samples * "
+                f"n_samples) must divide over the data axis ({dp}); "
+                f"adjust --batch_size"
+            )
+        logger.info("Decoding on a (%d, %d) (data, model) mesh", dp,
+                    args.mesh_model)
 
     tokenizer = load_tokenizer(args.tokenizer_path)
     test_data = MMTGDataset(args.data_path, tokenizer, dcfg, if_train=False)
@@ -172,8 +208,26 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         # pad the final batch to static shape
         n_pad = rows_per_batch - len(rows)
         batch = replicate_batch(rows + [rows[-1]] * n_pad, args.n_samples)
-        rng, sub = jax.random.split(rng)
-        toks = np.asarray(generate_batch(params, const, mcfg, dcfg, gcfg, batch, sub))
+        if mesh is not None:
+            # Per-sample PRNG streams keyed on the GLOBAL sample index:
+            # tokens depend only on (seed, global index), so the outputs
+            # are identical across mesh shapes (and match any future
+            # re-bucketing of the run) — decoding.generate_sharded's
+            # row_seeds contract (tests/test_sharding.py).
+            from mmtg_tpu.decoding import generate_sharded
+
+            base = lo * args.n_samples
+            seeds = jnp.arange(
+                base, base + rows_per_batch * args.n_samples, dtype=jnp.int32
+            )
+            toks = np.asarray(generate_sharded(
+                params, const, mcfg, dcfg, gcfg, batch, rng, mesh,
+                row_seeds=seeds,
+            ))
+        else:
+            rng, sub = jax.random.split(rng)
+            toks = np.asarray(
+                generate_batch(params, const, mcfg, dcfg, gcfg, batch, sub))
         tokens_generated += toks.shape[0] * gcfg.length
         for r in range(len(rows) * args.n_samples):
             # one sample per output line: byte-level BPE vocabs can decode

@@ -67,6 +67,81 @@ def test_generate_empty_test_set_exits_cleanly(tmp_path, reference_vocab_path):
     )  # must not raise
 
 
+def test_generate_cli_mesh_parallel(tmp_path, tiny_model_cfg, tiny_data_cfg,
+                                    reference_vocab_path, rng):
+    """--mesh_data/--mesh_model: the batch generator decodes through
+    generate_sharded on a virtual (data, model) mesh, and the written
+    samples are IDENTICAL across mesh shapes (per-sample PRNG streams
+    keyed on the global sample index) — the TPU answer to the reference's
+    ``nn.DataParallel`` (generate.py:191)."""
+    import dataclasses
+    import pickle
+
+    import jax
+
+    from mmtg_tpu.checkpoint import save_reference_checkpoint
+    from mmtg_tpu.configs import GPT2Config
+    from mmtg_tpu.data import make_synthetic_records
+    from mmtg_tpu.generate import main as gen_main
+    from mmtg_tpu.models.mmtg import init_mmtg_params
+
+    mcfg = dataclasses.replace(
+        tiny_model_cfg,
+        gpt2=GPT2Config(vocab_size=13317, n_positions=256, n_embd=48,
+                        n_layer=2, n_head=4),
+    )
+    records = make_synthetic_records(3, rng, emb_size=tiny_data_cfg.wenlan_emb_size)
+    test_pkl = tmp_path / "test.pkl"
+    with open(test_pkl, "wb") as f:
+        pickle.dump(records, f)
+    emb_pkl = tmp_path / "emb.pkl"
+    table = {i: rng.standard_normal(tiny_data_cfg.wenlan_emb_size).astype("float32")
+             for i in range(13317)}
+    with open(emb_pkl, "wb") as f:
+        pickle.dump(table, f)
+    ckpt = tmp_path / "model.pth"
+    save_reference_checkpoint(
+        str(ckpt), init_mmtg_params(jax.random.PRNGKey(0), mcfg), mcfg)
+
+    texts = {}
+    for dp, tp in ((4, 2), (2, 1)):
+        out = tmp_path / f"samples_{dp}x{tp}.txt"
+        gen_main(
+            [
+                "--data_path", str(test_pkl), "--model_path", str(ckpt),
+                "--tokenizer_path", reference_vocab_path,
+                "--token_emb_path", str(emb_pkl),
+                "--batch_size", "4", "--n_samples", "2",
+                "--mesh_data", str(dp), "--mesh_model", str(tp),
+                "--save_samples", "--save_samples_path", str(out),
+            ],
+            mcfg=mcfg, dcfg=tiny_data_cfg,
+        )
+        texts[(dp, tp)] = out.read_text(encoding="utf-8")
+    assert len(texts[(4, 2)].splitlines()) == 6  # 3 rows x 2 samples
+    assert texts[(4, 2)] == texts[(2, 1)]
+
+
+def test_generate_cli_mesh_divisibility_error(tmp_path, reference_vocab_path):
+    """A decode batch that doesn't divide over the data axis fails fast
+    with a clear message (not a shard_map shape error mid-run)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from mmtg_tpu.generate import main as gen_main
+
+    test_pkl = tmp_path / "test.pkl"
+    with open(test_pkl, "wb") as f:
+        pickle.dump([{"topic": "x"}], f)
+    with _pytest.raises(ValueError, match="data axis"):
+        gen_main([
+            "--data_path", str(test_pkl), "--model_path", "unused",
+            "--tokenizer_path", reference_vocab_path,
+            "--batch_size", "6", "--n_samples", "2", "--mesh_data", "4",
+        ])
+
+
 def test_swap_probe_swaps_only_embeddings():
     row = {
         "img_embs": np.arange(10, dtype=np.float32).reshape(5, 2),
