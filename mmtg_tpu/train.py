@@ -422,6 +422,114 @@ def parse_curriculums(s: str) -> Tuple[int, int]:
     return (vals[0], vals[1])
 
 
+def load_gpt2_ckpt_into(params: Dict, path: str, mcfg: ModelConfig,
+                        key: jax.Array) -> None:
+    """Initialize ``params["gpt2"]`` (and, when present, the projectors)
+    from ``--gpt2_ckpt``. Accepted layouts:
+
+    - a raw **HF model directory** (``pytorch_model.bin`` or
+      ``model.safetensors``) — the reference's decoder bootstrap is
+      ``GPT2LMHeadModel.from_pretrained("uer/gpt2-chinese-cluecorpussmall")``
+      (reference model.py:219); point this flag at a local snapshot of
+      that model
+    - our **phase-1 Orbax** checkpoint dir (mmtg_tpu.pretrain)
+    - a torch ``.pth``/``.ckpt`` file: either the reference's phase-1
+      ``GPT2_Decoder`` state dict (``gpt2.``-prefixed + projectors,
+      optionally ``state_dict``-wrapped, reference model.py:345-354) or a
+      raw HF ``GPT2LMHeadModel`` state dict (``transformer.``-prefixed)
+    """
+    from mmtg_tpu.checkpoint import _linear, import_hf_gpt2, strip_prefix
+
+    def check_dims(gpt2):
+        V, D = gpt2["wte"].shape
+        if (V, D) != (mcfg.gpt2.vocab_size, mcfg.gpt2.n_embd):
+            raise ValueError(
+                f"--gpt2_ckpt {path} has wte [{V}, {D}] but the model "
+                f"config expects [{mcfg.gpt2.vocab_size}, "
+                f"{mcfg.gpt2.n_embd}]; pass the matching "
+                f"--model_config_json"
+            )
+
+    if os.path.isdir(path):
+        hf_bin = os.path.join(path, "pytorch_model.bin")
+        hf_st = os.path.join(path, "model.safetensors")
+        if os.path.exists(hf_bin) or os.path.exists(hf_st):
+            # raw HF GPT2LMHeadModel snapshot directory
+            if os.path.exists(hf_bin):
+                import torch
+
+                raw = torch.load(hf_bin, map_location="cpu",
+                                 weights_only=False)
+            else:
+                from safetensors.numpy import load_file
+
+                raw = load_file(hf_st)
+            raw = strip_prefix(raw)
+            if not any(k.startswith("transformer.") for k in raw):
+                # GPT2Model-style save (no LM-head wrapper prefix)
+                raw = {f"transformer.{k}": v for k, v in raw.items()}
+            gpt2 = import_hf_gpt2(raw, mcfg.gpt2)
+            check_dims(gpt2)
+            params["gpt2"] = gpt2
+            return
+        # our phase-1 Orbax checkpoint (mmtg_tpu.pretrain)
+        from mmtg_tpu.checkpoint import restore_train_state
+        from mmtg_tpu.models.gpt2 import init_gpt2_params
+
+        template = {"gpt2": init_gpt2_params(key, mcfg.gpt2)}
+        restored, step = restore_train_state(path, template)
+        if step < 0:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        params["gpt2"] = restored["gpt2"]
+        return
+
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in raw:
+        raw = raw["state_dict"]
+    raw = strip_prefix(raw)
+    if any(k.startswith("transformer.") for k in raw):
+        # raw HF GPT2LMHeadModel state dict saved as a single file
+        gpt2 = import_hf_gpt2(raw, mcfg.gpt2)
+        check_dims(gpt2)
+        params["gpt2"] = gpt2
+        return
+    gpt2_state = {
+        k[len("gpt2."):]: v for k, v in raw.items() if k.startswith("gpt2.")
+    }
+    params["gpt2"] = import_hf_gpt2(gpt2_state, mcfg.gpt2)
+    if "projector_layer1.weight" in raw:
+        params["projector1"] = _linear(raw, "projector_layer1")
+        params["projector2"] = _linear(raw, "projector_layer2")
+
+
+def initialize_multihost() -> None:
+    """``--multihost``: join the multi-process JAX runtime.
+
+    On a TPU pod slice the coordinator/process topology auto-detects from
+    the TPU metadata (``jax.distributed.initialize()`` bare — gradient
+    all-reduce then spans hosts over DCN/ICI). Generic launchers (and the
+    CI smoke, tools/multihost_smoke.py) have no cluster plugin, so the
+    explicit ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` env triple is honored first — the same contract as
+    torch's ``MASTER_ADDR``/``WORLD_SIZE``/``RANK``. The reference has no
+    multi-host story at all (single-process ``nn.DataParallel``,
+    reference train.py:112-114)."""
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if num is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=int(num),
+            process_id=int(pid),
+            # host-local virtual CPU devices need no device filtering;
+            # on GPU-style launchers JAX_LOCAL_DEVICE_IDS still applies
+        )
+    else:
+        jax.distributed.initialize()
+
+
 def main(argv=None, mcfg: Optional[ModelConfig] = None,
          dcfg: Optional[DataConfig] = None) -> float:
     """CLI entry; ``mcfg``/``dcfg`` injectable so tests can drive the full
@@ -438,9 +546,7 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
     from mmtg_tpu.data import MMTGDataset, load_token_embedding_table
 
     if args.multihost:
-        # multi-host pod slice: coordinator/process env comes from the
-        # TPU runtime; gradient all-reduce then spans hosts over DCN/ICI
-        jax.distributed.initialize()
+        initialize_multihost()
     logger = setup_logger(args.log_path or None)
     logger.info(str(args))
     if args.debug_nans:
@@ -513,35 +619,7 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
     if args.gpt2_ckpt:
         logger.info("Loading pre-trained GPT2 model from %s...", args.gpt2_ckpt)
         params = init_mmtg_params(key, mcfg)
-        if os.path.isdir(args.gpt2_ckpt):
-            # our phase-1 Orbax checkpoint (mmtg_tpu.pretrain)
-            from mmtg_tpu.checkpoint import restore_train_state
-            from mmtg_tpu.models.gpt2 import init_gpt2_params
-
-            template = {"gpt2": init_gpt2_params(key, mcfg.gpt2)}
-            restored, step = restore_train_state(args.gpt2_ckpt, template)
-            if step < 0:
-                raise FileNotFoundError(f"no checkpoint under {args.gpt2_ckpt}")
-            params["gpt2"] = restored["gpt2"]
-        else:
-            # reference phase-1 torch ckpt: GPT2_Decoder state dict
-            # (gpt2 + projectors), optionally 'state_dict'-wrapped
-            # (reference model.py:345-354)
-            import torch
-
-            from mmtg_tpu.checkpoint import _linear, import_hf_gpt2, strip_prefix
-
-            raw = torch.load(args.gpt2_ckpt, map_location="cpu", weights_only=False)
-            if "state_dict" in raw:
-                raw = raw["state_dict"]
-            raw = strip_prefix(raw)
-            gpt2_state = {
-                k[len("gpt2."):]: v for k, v in raw.items() if k.startswith("gpt2.")
-            }
-            params["gpt2"] = import_hf_gpt2(gpt2_state, mcfg.gpt2)
-            if "projector_layer1.weight" in raw:
-                params["projector1"] = _linear(raw, "projector_layer1")
-                params["projector2"] = _linear(raw, "projector_layer2")
+        load_gpt2_ckpt_into(params, args.gpt2_ckpt, mcfg, key)
         logger.info("Pre-trained GPT2 model loaded.")
 
     state, tx = create_train_state(key, mcfg, tcfg, warmup, total_steps, params)
