@@ -258,6 +258,12 @@ def run(
             "model": f"2L/4H/64d GPT-2, vocab {vocab_size}",
             "variant": variant,
             "gen_seeds": seeds,
+            # honesty marker: no lyric corpus or WenLan embeddings exist
+            # in this environment, so the loop learns/evaluates on
+            # synthetic fixtures — it certifies the PIPELINE (learning
+            # happens, quantized modes track fp), not lyric quality
+            "data": "synthetic fixtures (data.make_synthetic_records); "
+                    "no real corpus available in this environment",
         },
         "val_loss_curve": val_curve,
         "final_val_loss": float(final_val),

@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -40,8 +41,11 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 
-# a ~1-minute core subset for `--tests fast`: one file per load-bearing
-# surface (data framing, model parity, decode equivalence, serving).
+# a ~90-second core subset for `--tests fast`: data framing, loss
+# numerics, config invariants, serving. Model-forward parity and decode
+# equivalence are NOT in this subset (their oracle files run minutes);
+# the dryrun step partially compensates by executing train/eval/decode
+# end-to-end on the virtual mesh. Use `--tests full` before a tag.
 FAST_TESTS = [
     "tests/test_data.py",
     "tests/test_loss.py",
@@ -61,18 +65,36 @@ def _env() -> dict:
 
 
 def _run(name: str, cmd: list, timeout: float) -> dict:
+    """Run one gate step in its own PROCESS GROUP.
+
+    On timeout, SIGKILL the whole group — not just the direct child.
+    pytest/make/the dryrun re-exec spawn grandchildren; a surviving
+    grandchild would keep running while the gate proceeds, violating the
+    strictly-sequential/no-concurrent-JAX invariant (CLAUDE.md: host-load
+    contention re-triggers the jaxlib SIGABRT and skews TPU numbers ~40%).
+    """
     print(f"=== {name}: {' '.join(cmd)} ===", flush=True)
     t0 = time.monotonic()
+    timed_out = False
+    proc = subprocess.Popen(cmd, cwd=ROOT, env=_env(),
+                            start_new_session=True)
     try:
-        rc = subprocess.run(cmd, cwd=ROOT, env=_env(),
-                            timeout=timeout).returncode
+        rc = proc.wait(timeout=timeout)
     except subprocess.TimeoutExpired:
+        timed_out = True
         rc = -1
-        print(f"=== TIMEOUT after {timeout:.0f}s: {name} ===", flush=True)
+        print(f"=== TIMEOUT after {timeout:.0f}s: {name} — killing its "
+              f"process group ===", flush=True)
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
     dt = time.monotonic() - t0
     print(f"=== {'PASS' if rc == 0 else f'FAIL (rc={rc})'}: {name} "
           f"({dt:.1f}s) ===\n", flush=True)
-    return {"step": name, "ok": rc == 0, "seconds": round(dt, 1)}
+    return {"step": name, "ok": rc == 0, "seconds": round(dt, 1),
+            "timed_out": timed_out}
 
 
 def main() -> int:
@@ -100,7 +122,19 @@ def main() -> int:
             sys.executable, os.path.join(ROOT, "bench.py"),
             "--runs", "3", "--skip-baseline"], 1800.0))
 
-    results = [_run(*s) for s in steps]
+    results = []
+    for s in steps:
+        results.append(_run(*s))
+        if results[-1]["timed_out"]:
+            # A timed-out step means a killed process group; don't trust
+            # the host state enough to keep going (especially into TPU
+            # steps whose numbers assume an idle host) — fail the gate
+            # now and report the remaining steps as skipped.
+            skipped = [{"step": n, "ok": False, "seconds": 0.0,
+                        "skipped_after_timeout": True}
+                       for n, _, _ in steps[len(results):]]
+            results.extend(skipped)
+            break
     ok = all(r["ok"] for r in results)
     print(json.dumps({"release_check": "PASS" if ok else "FAIL",
                       "steps": results}))
