@@ -210,8 +210,11 @@ class GenerateConfig:
     # per-sentence scheme the reference rebuilds at inference
     # (model.py:296-306). See SURVEY.md §3.3 for the inconsistency.
     type_id_scheme: str = "train"
-    # decode attention: 'auto' → Pallas dynamic-length kernel on TPU,
-    # XLA masked softmax elsewhere; or force 'pallas' / 'xla' / 'fused'
+    # decode attention: 'auto' → Pallas dynamic-length kernel on TPU
+    # (XLA masked softmax elsewhere), EXCEPT decode batches ≤ 2 where the
+    # kernel's fixed per-call DMA cost + the sublane pad to 8 rows lose
+    # to plain XLA attention (measured −11% p50 at b1 — docs/PERF.md
+    # "Round-4 latency regime"); or force 'pallas' / 'xla' / 'fused'
     # ('fused' = the whole-step megakernel, ops/decode_megakernel.py —
     # all layers in one pallas_call; int8 split cache + full-precision
     # weights only, silently falls back to 'pallas' out of scope).

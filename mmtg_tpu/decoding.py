@@ -126,6 +126,15 @@ def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
         attn_impl = (
             "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         )
+        # Latency regime: at B ≤ 2 the per-layer Pallas kernels lose to
+        # plain XLA attention — their fixed per-call DMA-issue cost plus
+        # the sublane pad to 8 rows outweigh the kernel's streaming wins
+        # (measured r04, int8 weights, 220 tok, p50 ms: b1 102.3 xla vs
+        # 114.2 pallas; b2 109.2 vs 123.0; b4 156.6 vs 112.5 — docs/
+        # PERF.md "Round-4 latency regime"). B=3 pads to 8 under pallas,
+        # so it already rides the ~112 ms b4-8 plateau: threshold at 2.
+        if attn_impl == "pallas" and batch_size is not None and batch_size <= 2:
+            attn_impl = "xla"
     d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
     # 'auto' weights resolve per batch; without a batch (config-only
     # reporting) assume the large-batch resolution ('model').
@@ -512,14 +521,26 @@ def generate_sharded(
     )
 
     tp = mesh.shape[MODEL_AXIS]
-    # 'auto' weights resolve from the GLOBAL batch here (inside the
-    # shard_map each data shard would only see batch/data rows, flipping
-    # the 32-row threshold with mesh shape — the outputs must not).
+    # 'auto' weights AND 'auto' attention resolve from the GLOBAL batch
+    # here (inside the shard_map each data shard would only see
+    # batch/data rows, flipping the 32-row weight threshold / the ≤2-row
+    # xla-attention gate with mesh shape — the outputs must not). The
+    # per-shard Mosaic %128 lane gate in resolve_attn_impl still applies
+    # to the concrete value downstream (TP shards with d_kv/tp not
+    # 128-aligned fall back to the XLA path regardless).
+    global_b = batch["topic_ids"].shape[0]
     if gcfg.weight_dtype == "auto":
         gcfg = dataclasses.replace(
+            gcfg, weight_dtype=resolve_weight_dtype(gcfg, global_b)
+        )
+    if gcfg.attn_impl == "auto":
+        d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
+        gcfg = dataclasses.replace(
             gcfg,
-            weight_dtype=resolve_weight_dtype(
-                gcfg, batch["topic_ids"].shape[0]
+            attn_impl=resolve_attn_impl(
+                gcfg, d_kv,
+                MODEL_AXIS if tp > 1 else None,
+                batch_size=global_b,
             ),
         )
     batch_spec = {k: P(DATA_AXIS) for k in batch}

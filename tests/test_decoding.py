@@ -206,6 +206,25 @@ def test_auto_weight_dtype_resolution(gen_setup):
     np.testing.assert_array_equal(got, explicit)
 
 
+def test_auto_attn_impl_batch_gate(monkeypatch):
+    """'auto' attention → XLA at decode batches ≤ 2 even on TPU backends
+    (measured r04: the per-layer Pallas kernels' fixed DMA cost + the pad
+    to 8 sublane rows lose below the b4 crossover — docs/PERF.md), Pallas
+    at B ≥ 3; explicit 'pallas' is never batch-gated."""
+    import mmtg_tpu.decoding as dec
+
+    monkeypatch.setattr(dec.jax, "default_backend", lambda: "tpu")
+    auto = GenerateConfig(cache_dtype="int8")
+    assert dec.resolve_attn_impl(auto, 768, batch_size=1) == "xla"
+    assert dec.resolve_attn_impl(auto, 768, batch_size=2) == "xla"
+    assert dec.resolve_attn_impl(auto, 768, batch_size=3) == "pallas"
+    assert dec.resolve_attn_impl(auto, 768, batch_size=8) == "pallas"
+    # config-only reporting (no batch) keeps the platform resolution
+    assert dec.resolve_attn_impl(auto, 768) == "pallas"
+    forced = GenerateConfig(cache_dtype="int8", attn_impl="pallas")
+    assert dec.resolve_attn_impl(forced, 768, batch_size=1) == "pallas"
+
+
 def test_generated_frame_structure(gen_setup):
     params, const, mcfg, dcfg, jb = gen_setup
     gcfg = GenerateConfig(length=68, top_k=5)

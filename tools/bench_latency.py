@@ -37,6 +37,16 @@ def main() -> None:
     ap.add_argument("--weight-dtypes", default="model,int8")
     ap.add_argument("--cache-dtype", default="int8",
                     choices=["model", "int8", "int4"])
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["auto", "pallas", "fused", "xla"],
+                    help="decode attention implementation to A/B in the "
+                         "latency regime (per-layer Pallas kernels carry "
+                         "~fixed DMA-issue cost per call that dominates at "
+                         "tiny batches)")
+    ap.add_argument("--topk-impl", default="exact", choices=["exact", "approx"],
+                    help="top-k sampling implementation (the exact TopK "
+                         "custom call has a per-step fixed cost that can "
+                         "dominate at b1)")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--length", type=int, default=220)
     ap.add_argument("--fixed-cost-ms", type=float, default=39.6,
@@ -88,7 +98,9 @@ def main() -> None:
         batch = make_batch(B)
         for wd in args.weight_dtypes.split(","):
             gcfg = GenerateConfig(cache_dtype=args.cache_dtype,
-                                  weight_dtype=wd, length=args.length)
+                                  weight_dtype=wd, length=args.length,
+                                  attn_impl=args.attn_impl,
+                                  topk_impl=args.topk_impl)
 
             def run(k):
                 toks = generate(params, const, mcfg, dcfg, gcfg, batch, k)
@@ -115,9 +127,13 @@ def main() -> None:
                                    weight_dtype=wd, model_dtype="bfloat16")
             floor_ms = m["total_bytes"] / (peak * 1e9) * 1e3 \
                 + args.fixed_cost_ms
+            from mmtg_tpu.decoding import resolve_attn_impl
+
             rows.append({
                 "batch": B,
                 "weight_dtype": wd,
+                "attn_impl": resolve_attn_impl(gcfg, mcfg.gpt2.n_embd,
+                                               batch_size=B),
                 "p50_ms": round(p50 * 1e3, 1),
                 "best_ms": round(times[0] * 1e3, 1),
                 "ms_per_token_per_row": round(p50 * 1e3 / args.length, 3),
