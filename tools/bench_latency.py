@@ -122,16 +122,22 @@ def main() -> None:
             times.sort()
             p50 = times[len(times) // 2]
 
+            from mmtg_tpu.decoding import (resolve_attn_impl,
+                                           resolve_weight_dtype)
+
+            # 'auto' is a policy, not a byte width — resolve it the way
+            # generate does before modeling the memory floor.
+            wd_eff = resolve_weight_dtype(gcfg, B)
             m = decode_bytes_model(mcfg, dcfg, B, args.length,
                                    cache_dtype=args.cache_dtype,
-                                   weight_dtype=wd, model_dtype="bfloat16")
+                                   weight_dtype=wd_eff,
+                                   model_dtype="bfloat16")
             floor_ms = m["total_bytes"] / (peak * 1e9) * 1e3 \
                 + args.fixed_cost_ms
-            from mmtg_tpu.decoding import resolve_attn_impl
 
             rows.append({
                 "batch": B,
-                "weight_dtype": wd,
+                "weight_dtype": wd_eff if wd == "auto" else wd,
                 "attn_impl": resolve_attn_impl(gcfg, mcfg.gpt2.n_embd,
                                                batch_size=B),
                 "p50_ms": round(p50 * 1e3, 1),
