@@ -211,10 +211,10 @@ class GenerateConfig:
     # (model.py:296-306). See SURVEY.md §3.3 for the inconsistency.
     type_id_scheme: str = "train"
     # decode attention: 'auto' → Pallas dynamic-length kernel on TPU
-    # (XLA masked softmax elsewhere), EXCEPT decode batches ≤ 2 where the
+    # (XLA masked softmax elsewhere), EXCEPT decode batch 1 where the
     # kernel's fixed per-call DMA cost + the sublane pad to 8 rows lose
-    # to plain XLA attention (measured −11% p50 at b1 — docs/PERF.md
-    # "Round-4 latency regime"); or force 'pallas' / 'xla' / 'fused'
+    # to plain XLA attention even with the unrolled layer loop (measured
+    # — docs/PERF.md "Round-4 latency regime"); or force 'pallas' / 'xla' / 'fused'
     # ('fused' = the whole-step megakernel, ops/decode_megakernel.py —
     # all layers in one pallas_call; int8 split cache + full-precision
     # weights only, silently falls back to 'pallas' out of scope).
@@ -248,6 +248,17 @@ class GenerateConfig:
     # 'model' for large batches (weights amortize across rows; keeps the
     # megakernel in scope).
     weight_dtype: str = "auto"
+    # Layer-loop unroll factor for the cached decode step: 'auto' | an
+    # int ('1' = the rolled fori_loop). At small decode batches every
+    # per-layer op is microseconds and the step is op-count /
+    # loop-bookkeeping bound (b1 trace: nested while 272 µs/step vs a
+    # ~120 µs bandwidth model), so unrolling the 12-layer fori_loop
+    # removes the dynamic layer indexing + loop-carried copies and lets
+    # the per-layer Pallas kernel calls overlap. 'auto' → full unroll on
+    # the pallas path at B ≤ 32, rolled otherwise — unrolling the XLA
+    # attention path measured SLOWER (decoding.resolve_layer_unroll;
+    # docs/PERF.md "Round-4 latency regime"). Math-identical at any value.
+    layer_unroll: str = "auto"
 
 
 def english_variant(

@@ -126,14 +126,15 @@ def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
         attn_impl = (
             "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
         )
-        # Latency regime: at B ≤ 2 the per-layer Pallas kernels lose to
+        # Latency regime: at B = 1 the per-layer Pallas kernels lose to
         # plain XLA attention — their fixed per-call DMA-issue cost plus
         # the sublane pad to 8 rows outweigh the kernel's streaming wins
-        # (measured r04, int8 weights, 220 tok, p50 ms: b1 102.3 xla vs
-        # 114.2 pallas; b2 109.2 vs 123.0; b4 156.6 vs 112.5 — docs/
-        # PERF.md "Round-4 latency regime"). B=3 pads to 8 under pallas,
-        # so it already rides the ~112 ms b4-8 plateau: threshold at 2.
-        if attn_impl == "pallas" and batch_size is not None and batch_size <= 2:
+        # (measured r04, int8 weights, 220 tok, p50 ms: b1 103.6 xla vs
+        # 106.8 pallas even with the unrolled layer loop, 114.2 rolled).
+        # From B = 2 up, pallas + the unrolled layer loop wins (b2 104.4
+        # vs 109.2 xla; b4-8 ~100 vs 157-220 — docs/PERF.md "Round-4
+        # latency regime"), so the threshold is 1.
+        if attn_impl == "pallas" and batch_size is not None and batch_size <= 1:
             attn_impl = "xla"
     d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
     # 'auto' weights resolve per batch; without a batch (config-only
@@ -157,6 +158,30 @@ def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
         # that — fall back to the XLA path there.
         attn_impl = "xla"
     return attn_impl
+
+
+def resolve_layer_unroll(gcfg: GenerateConfig, n_layer: int,
+                         batch_size: int | None = None,
+                         attn_impl: str | None = None) -> int:
+    """Effective layer-loop unroll for the cached decode step.
+
+    'auto' → full unroll on the PALLAS attention path at decode batches
+    ≤ 32. Measured r04 (int8 weights/cache, 220 tok, p50 ms): unrolling
+    turns the nested layer while's dynamic indexing + loop-carried
+    copies into static slices and lets XLA overlap the per-layer kernel
+    calls' fixed DMA-issue cost — pallas b8 113.0 → 99.7, b32 153.7 →
+    138.5, b2 123.0 → 104.4; at b512 it is a wash (125.5k vs 125.9k
+    tok/s) so the rolled loop keeps its 12× smaller compile. On the XLA
+    attention path unrolling LOSES (b1 103.6 rolled → 118.4 unrolled —
+    the in-place cache DUS chain schedules worse inlined), so 'auto'
+    never unrolls it. docs/PERF.md "Round-4 latency regime".
+    Math-identical at any value (same ops, static layer slices)."""
+    if gcfg.layer_unroll != "auto":
+        return max(1, int(gcfg.layer_unroll))
+    if (attn_impl == "pallas" and batch_size is not None
+            and batch_size <= 32):
+        return n_layer
+    return 1
 
 
 @partial(
@@ -200,6 +225,9 @@ def _generate_jit(
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
     attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis, batch_size=B)
     weight_dtype = resolve_weight_dtype(gcfg, B, tp_axis)
+    unroll = resolve_layer_unroll(
+        gcfg, mcfg.gpt2.n_layer, batch_size=B, attn_impl=attn_impl
+    )
     # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
     # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
     # CLI) up to a multiple of 8 and slice the tokens back at the end.
@@ -347,6 +375,7 @@ def _generate_jit(
         logits, cache = gpt2_decode_step(
             gpt2_params, mcfg.gpt2, cache, x, P + j, tt, key_mask,
             window=window, attn_impl=attn_impl, tp_axis=tp_axis,
+            unroll=unroll,
         )
         return (cache, key_mask, tokens, seen, logits), None
 
@@ -542,6 +571,18 @@ def generate_sharded(
                 MODEL_AXIS if tp > 1 else None,
                 batch_size=global_b,
             ),
+        )
+    if gcfg.layer_unroll == "auto":
+        # gcfg.attn_impl is concrete by now (replaced above when 'auto');
+        # a per-shard pallas→xla %128 fallback downstream would leave an
+        # unrolled xla step — slower, but math-identical, so mesh-shape
+        # output invariance still holds.
+        gcfg = dataclasses.replace(
+            gcfg,
+            layer_unroll=str(resolve_layer_unroll(
+                gcfg, mcfg.gpt2.n_layer, batch_size=global_b,
+                attn_impl=gcfg.attn_impl,
+            )),
         )
     batch_spec = {k: P(DATA_AXIS) for k in batch}
     seed_specs = () if row_seeds is None else (P(DATA_AXIS),)

@@ -486,6 +486,7 @@ def gpt2_decode_step(
     window: Optional[int] = None,
     attn_impl: str = "xla",
     tp_axis: Optional[str] = None,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One-token KV-cached decode step.
 
@@ -508,6 +509,12 @@ def gpt2_decode_step(
       tp_axis: tensor parallelism under ``shard_map`` (see
         :func:`gpt2_forward`); the cache then holds only this shard's
         heads (``D_kv = D / tp_size``) and attn/MLP projections psum.
+      unroll: unroll factor for the layer loop (``lax.fori_loop``
+        ``unroll=``). At tiny decode batches every per-layer op is
+        microseconds, so the step is op-count/loop-bookkeeping bound —
+        unrolling turns the nested while's dynamic layer indexing into
+        static slices and lets XLA schedule across layer boundaries.
+        Math-identical; resolved by ``decoding.resolve_layer_unroll``.
     Returns:
       (logits ``[B, V]``, updated cache).
     """
@@ -690,7 +697,8 @@ def gpt2_decode_step(
     ks0 = cache.k_scale if quantized else jnp.zeros((), jnp.float32)
     vs0 = cache.v_scale if quantized else jnp.zeros((), jnp.float32)
     h, new_k, new_v, new_ks, new_vs = jax.lax.fori_loop(
-        0, cfg.n_layer, layer, (h, cache.k, cache.v, ks0, vs0)
+        0, cfg.n_layer, layer, (h, cache.k, cache.v, ks0, vs0),
+        unroll=unroll,
     )
     h = _layer_norm(h, params["lnf_g"], params["lnf_b"], cfg.layer_norm_epsilon)
     if int8_w:

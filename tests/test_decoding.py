@@ -2,6 +2,8 @@
 equivalence between the KV-cached scan decode and a reference-style
 full-re-forward decode (generate.py:97-145 semantics)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -207,22 +209,64 @@ def test_auto_weight_dtype_resolution(gen_setup):
 
 
 def test_auto_attn_impl_batch_gate(monkeypatch):
-    """'auto' attention → XLA at decode batches ≤ 2 even on TPU backends
+    """'auto' attention → XLA at decode batch 1 even on TPU backends
     (measured r04: the per-layer Pallas kernels' fixed DMA cost + the pad
-    to 8 sublane rows lose below the b4 crossover — docs/PERF.md), Pallas
-    at B ≥ 3; explicit 'pallas' is never batch-gated."""
+    to 8 sublane rows lose there even unrolled — docs/PERF.md), Pallas at
+    B ≥ 2 (where pallas + the unrolled layer loop wins); explicit
+    'pallas' is never batch-gated."""
     import mmtg_tpu.decoding as dec
 
     monkeypatch.setattr(dec.jax, "default_backend", lambda: "tpu")
     auto = GenerateConfig(cache_dtype="int8")
     assert dec.resolve_attn_impl(auto, 768, batch_size=1) == "xla"
-    assert dec.resolve_attn_impl(auto, 768, batch_size=2) == "xla"
-    assert dec.resolve_attn_impl(auto, 768, batch_size=3) == "pallas"
+    assert dec.resolve_attn_impl(auto, 768, batch_size=2) == "pallas"
     assert dec.resolve_attn_impl(auto, 768, batch_size=8) == "pallas"
     # config-only reporting (no batch) keeps the platform resolution
     assert dec.resolve_attn_impl(auto, 768) == "pallas"
-    forced = GenerateConfig(cache_dtype="int8", attn_impl="pallas")
-    assert dec.resolve_attn_impl(forced, 768, batch_size=1) == "pallas"
+    forced = GenerateConfig(cache_dtype="int8", attn_impl="xla")
+    assert dec.resolve_attn_impl(forced, 768, batch_size=512) == "xla"
+
+
+def test_layer_unroll_resolution():
+    """'auto' layer unroll → full on the pallas path at decode batches
+    ≤ 32 (the op-count / loop-bookkeeping-bound regime where overlapped
+    kernel DMA issue wins, docs/PERF.md "Round-4 latency regime"),
+    rolled above and on every non-pallas path (XLA attention measured
+    SLOWER unrolled); explicit values pass through as ints."""
+    from mmtg_tpu.decoding import resolve_layer_unroll
+
+    auto = GenerateConfig()
+    assert resolve_layer_unroll(auto, 12, batch_size=2,
+                                attn_impl="pallas") == 12
+    assert resolve_layer_unroll(auto, 12, batch_size=32,
+                                attn_impl="pallas") == 12
+    assert resolve_layer_unroll(auto, 12, batch_size=33,
+                                attn_impl="pallas") == 1
+    assert resolve_layer_unroll(auto, 12, batch_size=512,
+                                attn_impl="pallas") == 1
+    # the XLA attention path never unrolls under 'auto'
+    assert resolve_layer_unroll(auto, 12, batch_size=1, attn_impl="xla") == 1
+    assert resolve_layer_unroll(auto, 12, batch_size=8, attn_impl="xla") == 1
+    # config-only reporting (no batch) keeps the rolled loop
+    assert resolve_layer_unroll(auto, 12, attn_impl="pallas") == 1
+    forced = GenerateConfig(layer_unroll="4")
+    assert resolve_layer_unroll(forced, 12, batch_size=512,
+                                attn_impl="xla") == 4
+    assert resolve_layer_unroll(GenerateConfig(layer_unroll="1"), 12,
+                                batch_size=1, attn_impl="pallas") == 1
+
+
+def test_decode_tokens_invariant_to_layer_unroll(gen_setup):
+    """The unrolled layer loop is math-identical: same tokens as the
+    rolled fori_loop on the same inputs (static layer slices replace
+    dynamic indexing — no numeric change)."""
+    params, const, mcfg, dcfg, jb = gen_setup
+    rolled = GenerateConfig(length=36, top_k=5, layer_unroll="1")
+    unrolled = dataclasses.replace(rolled, layer_unroll=str(mcfg.gpt2.n_layer))
+    key = jax.random.PRNGKey(11)
+    a = np.asarray(generate(params, const, mcfg, dcfg, rolled, jb, key))
+    b = np.asarray(generate(params, const, mcfg, dcfg, unrolled, jb, key))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_generated_frame_structure(gen_setup):

@@ -43,6 +43,10 @@ def main() -> None:
                          "latency regime (per-layer Pallas kernels carry "
                          "~fixed DMA-issue cost per call that dominates at "
                          "tiny batches)")
+    ap.add_argument("--layer-unroll", default="auto",
+                    help="decode layer-loop unroll ('auto' or an int) — "
+                         "at tiny batches the step is loop-bookkeeping "
+                         "bound and full unroll removes it")
     ap.add_argument("--topk-impl", default="exact", choices=["exact", "approx"],
                     help="top-k sampling implementation (the exact TopK "
                          "custom call has a per-step fixed cost that can "
@@ -100,6 +104,7 @@ def main() -> None:
             gcfg = GenerateConfig(cache_dtype=args.cache_dtype,
                                   weight_dtype=wd, length=args.length,
                                   attn_impl=args.attn_impl,
+                                  layer_unroll=args.layer_unroll,
                                   topk_impl=args.topk_impl)
 
             def run(k):
@@ -123,6 +128,7 @@ def main() -> None:
             p50 = times[len(times) // 2]
 
             from mmtg_tpu.decoding import (resolve_attn_impl,
+                                           resolve_layer_unroll,
                                            resolve_weight_dtype)
 
             # 'auto' is a policy, not a byte width — resolve it the way
@@ -140,6 +146,10 @@ def main() -> None:
                 "weight_dtype": wd_eff if wd == "auto" else wd,
                 "attn_impl": resolve_attn_impl(gcfg, mcfg.gpt2.n_embd,
                                                batch_size=B),
+                "layer_unroll": resolve_layer_unroll(
+                    gcfg, mcfg.gpt2.n_layer, batch_size=B,
+                    attn_impl=resolve_attn_impl(gcfg, mcfg.gpt2.n_embd,
+                                                batch_size=B)),
                 "p50_ms": round(p50 * 1e3, 1),
                 "best_ms": round(times[0] * 1e3, 1),
                 "ms_per_token_per_row": round(p50 * 1e3 / args.length, 3),

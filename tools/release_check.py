@@ -5,7 +5,7 @@ compilation-cache setup):
 
   1. native   — build the C++ layer (tokenizers + packer), `make -C native`
   2. tests    — the pytest suite on the 8-device virtual CPU mesh
-                (`--tests fast` runs a ~1-minute core subset; `full` is the
+                (`--tests fast` runs a ~90-second core subset; `full` is the
                 whole suite, ~25-30 min — see CLAUDE.md)
   3. dryrun   — `__graft_entry__.dryrun_multichip(8)`: DP/TP/PP train +
                 eval + sharded decode on virtual meshes
