@@ -184,54 +184,12 @@ def resolve_layer_unroll(gcfg: GenerateConfig, n_layer: int,
     return 1
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mcfg", "dcfg", "gcfg", "tp_axis"),
-)
-def _generate_jit(
-    params: Dict,
-    const: Dict,
-    mcfg: ModelConfig,
-    dcfg: DataConfig,
-    gcfg: GenerateConfig,
-    batch: Dict[str, jnp.ndarray],
-    rng: jax.Array,
-    row_seeds: jnp.ndarray | None = None,
-    tp_axis: str | None = None,
-) -> jnp.ndarray:
-    """Generate lyrics for a whole batch in one compiled program.
-
-    Args:
-      batch: reference-keyed arrays (``topic_ids``, ``tpw_*``,
-        ``topic_emb``, ``img_embs``, ``r_embs``); targets are generated.
-      rng: PRNG key; one independent stream per decode step.
-      row_seeds: optional ``[B]`` int32 — per-row PRNG streams (see
-        :func:`generate`).
-    Returns:
-      ``[B, 1 + length]`` int32 token ids, position 0 = ``[#START#]``
-      (the reference seeds generation with a bare START, ``generate.py:208-210``).
-    """
-    table = const["wenlan_table"]
-    scheme = (
-        infer_scheme_type_ids
-        if gcfg.type_id_scheme == "reference_infer"
-        else train_scheme_type_ids
-    )
+def _pad_to_sublanes(attn_impl, batch, row_seeds):
+    """Mosaic sublane alignment: kernel batch blocks must divide into 8s —
+    pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
+    CLI) up to a multiple of 8; callers slice the tokens back at the end.
+    Returns ``(batch, row_seeds, orig_B, padded_B)``."""
     B = batch["topic_ids"].shape[0]
-    P = dcfg.topic_prompt_length
-    V = mcfg.gpt2.vocab_size
-    length = gcfg.length
-    capacity = _round_up(P + length + 1, 128)
-    d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
-    attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis, batch_size=B)
-    weight_dtype = resolve_weight_dtype(gcfg, B, tp_axis)
-    unroll = resolve_layer_unroll(
-        gcfg, mcfg.gpt2.n_layer, batch_size=B, attn_impl=attn_impl
-    )
-    # Mosaic sublane alignment: kernel batch blocks must divide into 8s —
-    # pad ragged batches (e.g. 3 rows × 10 samples = 30 from the generate
-    # CLI) up to a multiple of 8 and slice the tokens back at the end.
-    orig_B = B
     pad_b = (-B) % 8 if attn_impl in ("pallas", "fused") else 0
     if pad_b:
         batch = {
@@ -242,7 +200,26 @@ def _generate_jit(
             row_seeds = jnp.concatenate(
                 [row_seeds, jnp.zeros((pad_b,), row_seeds.dtype)]
             )
-        B = orig_B + pad_b
+    return batch, row_seeds, B, B + pad_b
+
+
+def _prefill_state(params, const, mcfg, dcfg, gcfg, batch, attn_impl,
+                   weight_dtype, tp_axis):
+    """Encoder + topic-prompt prefill + decode-weight prep — everything
+    before the per-token loop, shared by the one-shot scan
+    (:func:`_generate_jit`) and the chunked streaming path
+    (:func:`generate_stream`). ``batch`` must already be sublane-padded.
+
+    Returns ``(state, gpt2_params, fused)`` where
+    ``state = (cache, key_mask, tokens, seen, last_logits)`` is the
+    decode-loop carry and ``gpt2_params`` are the (possibly int8-
+    quantized) decoder weights the loop reads.
+    """
+    table = const["wenlan_table"]
+    B = batch["topic_ids"].shape[0]
+    P = dcfg.topic_prompt_length
+    V = mcfg.gpt2.vocab_size
+    capacity = _round_up(P + gcfg.length + 1, 128)
 
     # ---- encoder runs ONCE (the reference re-runs it per token) ----------
     fused, _ = encode_experiences(
@@ -314,7 +291,9 @@ def _generate_jit(
     key_mask = jnp.zeros((B, capacity), jnp.int32)
     key_mask = jax.lax.dynamic_update_slice(key_mask, attn_mask, (0, 0))
 
-    tokens = jnp.zeros((B, length + 1), jnp.int32).at[:, 0].set(SPECIAL.start_id)
+    tokens = jnp.zeros((B, gcfg.length + 1), jnp.int32).at[:, 0].set(
+        SPECIAL.start_id
+    )
     # occurrence counts (not a bool mask): the reference penalizes once per
     # occurrence — see ops/sampling.apply_repetition_penalty. int16: the
     # [B, V] table is pure HBM traffic in the decode loop (~27 MB/step as
@@ -322,22 +301,31 @@ def _generate_jit(
     # bounded by the 221-token target length.
     seen = jnp.zeros((B, V), jnp.int16).at[:, SPECIAL.start_id].set(1)
 
+    state = (cache, key_mask, tokens, seen, prefill_logits[:, -1])
+    return state, gpt2_params, fused
+
+
+def _build_step(params, gpt2_params, table, fused, rng, row_keys, mcfg,
+                dcfg, gcfg, attn_impl, unroll, tp_axis):
+    """The per-token decode step shared by the one-shot scan and the
+    chunked streaming path. ``i`` is the GLOBAL step index — the PRNG
+    stream is ``fold_in(rng, i)`` (or per-row ``fold_in(row_key, i)``),
+    so any chunking of the step sequence is bit-identical to the single
+    scan over ``arange(length)``."""
+    scheme = (
+        infer_scheme_type_ids
+        if gcfg.type_id_scheme == "reference_infer"
+        else train_scheme_type_ids
+    )
+    P = dcfg.topic_prompt_length
     # fused window id per target position j: j // 44, clamped; no addition
     # past the last window (model.py:267-268).
     win = dcfg.two_sents_length
     T_steps = fused.shape[1]
 
-    # Per-row streams: key(b, i) = fold_in(fold_in(rng, row_seeds[b]), i)
-    # depends on nothing batch-shaped, so a row's sample path is invariant
-    # to which other rows got batched with it (serving re-batches freely).
-    row_keys = (
-        None
-        if row_seeds is None
-        else jax.vmap(lambda s: jax.random.fold_in(rng, s))(row_seeds)
-    )
-
     def step(carry, i, window):
         cache, key_mask, tokens, seen, last_logits = carry
+        B = tokens.shape[0]
         # --- choose token for target position j = i + 1 ---
         is_forced, forced_id = frame_forced_token(i, dcfg.sent_frame_length)
         step_rng = (
@@ -379,14 +367,182 @@ def _generate_jit(
         )
         return (cache, key_mask, tokens, seen, logits), None
 
+    return step
+
+
+def _row_keys(rng, row_seeds):
+    # Per-row streams: key(b, i) = fold_in(fold_in(rng, row_seeds[b]), i)
+    # depends on nothing batch-shaped, so a row's sample path is invariant
+    # to which other rows got batched with it (serving re-batches freely).
+    if row_seeds is None:
+        return None
+    return jax.vmap(lambda s: jax.random.fold_in(rng, s))(row_seeds)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "dcfg", "gcfg", "tp_axis"),
+)
+def _generate_jit(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    row_seeds: jnp.ndarray | None = None,
+    tp_axis: str | None = None,
+) -> jnp.ndarray:
+    """Generate lyrics for a whole batch in one compiled program.
+
+    Args:
+      batch: reference-keyed arrays (``topic_ids``, ``tpw_*``,
+        ``topic_emb``, ``img_embs``, ``r_embs``); targets are generated.
+      rng: PRNG key; one independent stream per decode step.
+      row_seeds: optional ``[B]`` int32 — per-row PRNG streams (see
+        :func:`generate`).
+    Returns:
+      ``[B, 1 + length]`` int32 token ids, position 0 = ``[#START#]``
+      (the reference seeds generation with a bare START, ``generate.py:208-210``).
+    """
+    B = batch["topic_ids"].shape[0]
+    d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
+    attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis, batch_size=B)
+    weight_dtype = resolve_weight_dtype(gcfg, B, tp_axis)
+    unroll = resolve_layer_unroll(
+        gcfg, mcfg.gpt2.n_layer, batch_size=B, attn_impl=attn_impl
+    )
+    batch, row_seeds, orig_B, B = _pad_to_sublanes(attn_impl, batch, row_seeds)
+
+    state, gpt2_params, fused = _prefill_state(
+        params, const, mcfg, dcfg, gcfg, batch, attn_impl, weight_dtype,
+        tp_axis,
+    )
+    step = _build_step(
+        params, gpt2_params, const["wenlan_table"], fused, rng,
+        _row_keys(rng, row_seeds), mcfg, dcfg, gcfg, attn_impl, unroll,
+        tp_axis,
+    )
+
     # Single scan over all steps at full window. (A static-window segmented
     # variant was measured slower — XLA materializes the cache prefix slice
     # as a copy instead of narrowing the reads; true dynamic-length reads
     # live in the Pallas decode-attention kernel.)
-    carry = (cache, key_mask, tokens, seen, prefill_logits[:, -1])
-    carry, _ = jax.lax.scan(partial(step, window=None), carry, jnp.arange(length))
-    (cache, key_mask, tokens, seen, _) = carry
-    return tokens[:orig_B] if pad_b else tokens
+    state, _ = jax.lax.scan(
+        partial(step, window=None), state, jnp.arange(gcfg.length)
+    )
+    tokens = state[2]
+    return tokens[:orig_B] if orig_B != B else tokens
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "dcfg", "gcfg", "attn_impl", "weight_dtype",
+                     "tp_axis"),
+)
+def _prefill_stream_jit(params, const, mcfg, dcfg, gcfg, batch, attn_impl,
+                        weight_dtype, tp_axis):
+    return _prefill_state(
+        params, const, mcfg, dcfg, gcfg, batch, attn_impl, weight_dtype,
+        tp_axis,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "dcfg", "gcfg", "chunk", "attn_impl", "unroll",
+                     "tp_axis"),
+)
+def _stream_chunk_jit(params, gpt2_params, table, fused, state, rng,
+                      row_seeds, start, mcfg, dcfg, gcfg, chunk, attn_impl,
+                      unroll, tp_axis):
+    """Run ``chunk`` decode steps starting at GLOBAL step ``start``.
+
+    ``start`` is a traced scalar — every chunk of a given size reuses one
+    compiled program (the per-step PRNG folds in the global index, and all
+    cache/token writes are dynamic slices at ``start``-relative positions,
+    so nothing about the computation is offset-dependent)."""
+    step = _build_step(
+        params, gpt2_params, table, fused, rng, _row_keys(rng, row_seeds),
+        mcfg, dcfg, gcfg, attn_impl, unroll, tp_axis,
+    )
+
+    def step_tok(carry, i):
+        carry, _ = step(carry, i, window=None)
+        B = carry[2].shape[0]
+        tok = jax.lax.dynamic_slice(carry[2], (0, i + 1), (B, 1))[:, 0]
+        return carry, tok
+
+    state, toks = jax.lax.scan(step_tok, state, start + jnp.arange(chunk))
+    return state, toks.T  # [B, chunk]
+
+
+def generate_stream(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    row_seeds: jnp.ndarray | None = None,
+    chunk: int | None = None,
+):
+    """Streaming generation: yield ``[B, chunk]`` token blocks as they are
+    decoded, bit-identical to :func:`generate`.
+
+    The reference has no streaming at all (its ``sample_sequence`` loop,
+    ``generate.py:97-145``, prints only after the full lyric); this is a
+    serving capability: the prefill compiles once, then ONE compiled
+    chunk program (traced ``start`` scalar) is re-dispatched per block, so
+    time-to-first-sentence ≈ prefill + one chunk instead of the full
+    220-step scan. Bit-identity with the one-shot path holds because the
+    per-step PRNG stream is keyed on the GLOBAL step index
+    (see :func:`_build_step`), verified by
+    ``tests/test_decoding.py::test_generate_stream_matches_generate``.
+
+    Args:
+      chunk: steps per yielded block; defaults to ``dcfg.sent_frame_length``
+        (22 — one lyric sentence per block). A ragged final block (when
+        ``chunk`` doesn't divide ``gcfg.length``) costs one extra compile.
+      row_seeds: as in :func:`generate` — per-row PRNG streams, so a
+        streamed row is invariant to its batch companions.
+
+    Yields:
+      ``[B, n]`` int32 device arrays (``n == chunk`` except possibly the
+      last). Concatenated, they equal ``generate(...)[:, 1:]`` (the
+      one-shot output minus the seeded ``[#START#]`` column). Single-mesh
+      only — the sharded path (:func:`generate_sharded`) stays one-shot.
+    """
+    import dataclasses
+
+    gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
+    B = batch["topic_ids"].shape[0]
+    d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
+    attn_impl = resolve_attn_impl(gcfg, d_kv, None, batch_size=B)
+    weight_dtype = resolve_weight_dtype(gcfg, B, None)
+    unroll = resolve_layer_unroll(
+        gcfg, mcfg.gpt2.n_layer, batch_size=B, attn_impl=attn_impl
+    )
+    if chunk is None:
+        chunk = dcfg.sent_frame_length
+    chunk = max(1, min(int(chunk), gcfg.length))
+    batch, row_seeds, orig_B, _ = _pad_to_sublanes(attn_impl, batch, row_seeds)
+    state, gpt2_params, fused = _prefill_stream_jit(
+        params, const, mcfg, dcfg, gcfg, batch, attn_impl, weight_dtype,
+        None,
+    )
+    table = const["wenlan_table"]
+    start = 0
+    while start < gcfg.length:
+        n = min(chunk, gcfg.length - start)
+        state, toks = _stream_chunk_jit(
+            params, gpt2_params, table, fused, state, rng, row_seeds,
+            jnp.int32(start), mcfg, dcfg, gcfg, n, attn_impl, unroll, None,
+        )
+        yield toks[:orig_B]
+        start += n
 
 
 def teacher_forced_decode_logits(

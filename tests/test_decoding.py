@@ -269,6 +269,57 @@ def test_decode_tokens_invariant_to_layer_unroll(gen_setup):
     np.testing.assert_array_equal(a, b)
 
 
+def test_generate_stream_matches_generate(gen_setup):
+    """Chunked streaming decode is bit-identical to the one-shot scan —
+    the per-step PRNG keys on the GLOBAL step index, so any chunking of
+    the step sequence (including a ragged last block) replays the same
+    sample path. Also: one compiled chunk program serves every full-size
+    block (traced ``start`` scalar)."""
+    from mmtg_tpu.decoding import _stream_chunk_jit, generate_stream
+
+    params, const, mcfg, dcfg, jb = gen_setup
+    gcfg = GenerateConfig(length=46, top_k=8, top_p=0.7, temperature=1.1,
+                          repetition_penalty=1.5)
+    rng = jax.random.PRNGKey(11)
+    oneshot = np.asarray(generate(params, const, mcfg, dcfg, gcfg, jb, rng))
+
+    # chunk=20 over length=46 → blocks of 20/20/6 (ragged tail)
+    blocks = list(generate_stream(params, const, mcfg, dcfg, gcfg, jb, rng,
+                                  chunk=20))
+    assert [b.shape[1] for b in blocks] == [20, 20, 6]
+    streamed = np.concatenate([np.asarray(b) for b in blocks], axis=1)
+    np.testing.assert_array_equal(streamed, oneshot[:, 1:])
+
+    # full-size blocks share ONE compiled program (start is traced)
+    sizes = _stream_chunk_jit._cache_size()
+    blocks2 = list(generate_stream(params, const, mcfg, dcfg, gcfg, jb, rng,
+                                   chunk=20))
+    assert _stream_chunk_jit._cache_size() == sizes
+    streamed2 = np.concatenate([np.asarray(b) for b in blocks2], axis=1)
+    np.testing.assert_array_equal(streamed2, streamed)
+
+
+def test_generate_stream_row_seeds(gen_setup):
+    """Streaming with per-row seeds matches the one-shot row-seeded path
+    (the serving layer's batch-composition invariance carries over)."""
+    from mmtg_tpu.decoding import generate_stream
+
+    params, const, mcfg, dcfg, jb = gen_setup
+    gcfg = GenerateConfig(length=44, top_k=8)
+    rng = jax.random.PRNGKey(5)
+    seeds = jnp.asarray([17, 23], jnp.int32)
+    oneshot = np.asarray(
+        generate(params, const, mcfg, dcfg, gcfg, jb, rng, row_seeds=seeds)
+    )
+    streamed = np.concatenate(
+        [np.asarray(b) for b in generate_stream(
+            params, const, mcfg, dcfg, gcfg, jb, rng, row_seeds=seeds,
+            chunk=22)],
+        axis=1,
+    )
+    np.testing.assert_array_equal(streamed, oneshot[:, 1:])
+
+
 def test_generated_frame_structure(gen_setup):
     params, const, mcfg, dcfg, jb = gen_setup
     gcfg = GenerateConfig(length=68, top_k=5)
