@@ -219,11 +219,20 @@ class GenerateConfig:
     # all layers in one pallas_call; int8 split cache + full-precision
     # weights only, silently falls back to 'pallas' out of scope).
     attn_impl: str = "auto"
-    # KV cache precision: 'model' (= param dtype), 'int8' (per-row
-    # abs-max quantization — halves the decode loop's dominant HBM
-    # traffic at a small sampling-distribution perturbation), or 'int4'
-    # (two nibbles packed per byte — quarter traffic, larger
-    # perturbation; see tests/test_decoding.py int4 agreement check).
+    # KV cache precision: 'model' (= param dtype, reference-exact
+    # numerics), 'int8' (per-row abs-max quantization — halves the
+    # decode loop's dominant HBM traffic at a small
+    # sampling-distribution perturbation), 'int4' (two nibbles packed
+    # per byte — quarter traffic, larger perturbation; see
+    # tests/test_decoding.py int4 agreement check), or 'auto'
+    # (decoding.resolve_cache_dtype: 'int8' for plain single-mesh
+    # decode at B >= 2; 'model' at decode batch 1 — where the cache
+    # bytes are negligible and the int8 quantize/dequant op chain is
+    # pure overhead, measured b1 91.9 ms fp vs 108.3 int8 — and in
+    # every sharded context, where outputs must not depend on the mesh
+    # shape and int8's shard-local scales are not TP-invariant. The
+    # CLIs default to 'auto', the library default stays 'model').
+    # docs/PERF.md "Round-4 latency regime".
     cache_dtype: str = "model"
     # Merged KV storage for the Pallas int8 decode loop: k||v share one
     # [L, B, T, 2D] buffer so each kernel sub-tile costs ONE DMA instead

@@ -111,6 +111,49 @@ def resolve_weight_dtype(gcfg: GenerateConfig, batch_size: int,
     return "int8" if batch_size <= 32 else "model"
 
 
+def resolve_cache_dtype(gcfg: GenerateConfig, batch_size: int,
+                        sharded: bool = False) -> str:
+    """The EFFECTIVE KV-cache precision. ``'auto'`` → ``'int8'`` for
+    plain single-mesh decode at B ≥ 2; full precision at B = 1 and in
+    every sharded context.
+
+    The B = 1 carve-out is perf (see below); the sharded one is a
+    mesh-shape-invariance requirement: under tensor parallelism the
+    int8 cache's per-row scales are abs-maxed over the LOCAL head shard
+    (``quantize_rows`` in the step, or in-kernel on the Pallas path —
+    where no cross-shard ``pmax`` is possible), so an int8-cached TP
+    decode quantizes differently per mesh shape and its tokens diverge
+    from the single-device ones. Weight-only int8 does NOT have this
+    problem (its scales ``pmax`` over the model axis,
+    ``quantize_decode_weights(scale_axis=...)``). 'auto' therefore
+    resolves every meshed run — DP-only included, so the choice cannot
+    depend on the mesh's shape — to full precision; explicit
+    ``cache_dtype="int8"`` on a mesh stays available (exact on DP-only
+    meshes, shard-local quantization under TP — the per-device cache
+    shrinks by the TP factor).
+
+    At B = 1 (the xla-attention regime, :func:`resolve_attn_impl`) the
+    cache bytes are negligible — the whole 220-step scan streams < 1 GB
+    of cache vs ~26 GB of int8 weights — and the step is op-count bound,
+    so the int8 cache's per-layer quantize / scale-DUS / dequant chain is
+    pure overhead: measured r04 (int8 weights, 220 tok) b1 p50 91.9 ms
+    fp cache vs 108.3 int8 cache. From B = 2 the Pallas kernels win and
+    the int8 cache's halved streaming pays for its in-kernel quantize
+    (b2 103.3 int8 vs 105.9-107.1 fp; the gap widens with B — the b512
+    headline NEEDS int8). docs/PERF.md "Round-4 latency regime".
+
+    Like ``weight_dtype='auto'``, the resolution changes sampling
+    numerics with batch size, so invariance-sensitive callers pin it
+    once: ``generate_sharded`` from the GLOBAL batch,
+    ``serve.GenerationService`` from the largest bucket, the generate
+    CLI from the nominal ``--batch_size``."""
+    if gcfg.cache_dtype != "auto":
+        return gcfg.cache_dtype
+    if sharded:
+        return "model"
+    return "model" if batch_size <= 1 else "int8"
+
+
 def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
                       tp_axis: str | None = None,
                       batch_size: int | None = None) -> str:
@@ -136,13 +179,20 @@ def resolve_attn_impl(gcfg: GenerateConfig, d_kv: int,
         # latency regime"), so the threshold is 1.
         if attn_impl == "pallas" and batch_size is not None and batch_size <= 1:
             attn_impl = "xla"
-    d_store = d_kv // 2 if gcfg.cache_dtype == "int4" else d_kv
-    # 'auto' weights resolve per batch; without a batch (config-only
-    # reporting) assume the large-batch resolution ('model').
+    # 'auto' cache/weights resolve per batch; without a batch (config-only
+    # reporting) assume the large-batch resolutions ('int8' / 'model').
+    if batch_size is not None:
+        cd = resolve_cache_dtype(gcfg, batch_size,
+                                 sharded=tp_axis is not None)
+    elif gcfg.cache_dtype == "auto":
+        cd = "model" if tp_axis is not None else "int8"
+    else:
+        cd = gcfg.cache_dtype
+    d_store = d_kv // 2 if cd == "int4" else d_kv
     wd = (resolve_weight_dtype(gcfg, batch_size) if batch_size is not None
           else ("model" if gcfg.weight_dtype == "auto" else gcfg.weight_dtype))
     if attn_impl == "fused" and not (
-        gcfg.cache_dtype == "int8"
+        cd == "int8"
         and not gcfg.merged_kv
         and wd != "int8"
         and tp_axis is None
@@ -406,7 +456,15 @@ def _generate_jit(
       ``[B, 1 + length]`` int32 token ids, position 0 = ``[#START#]``
       (the reference seeds generation with a bare START, ``generate.py:208-210``).
     """
+    import dataclasses
+
     B = batch["topic_ids"].shape[0]
+    if gcfg.cache_dtype == "auto":
+        gcfg = dataclasses.replace(
+            gcfg,
+            cache_dtype=resolve_cache_dtype(gcfg, B,
+                                            sharded=tp_axis is not None),
+        )
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
     attn_impl = resolve_attn_impl(gcfg, d_kv, tp_axis, batch_size=B)
     weight_dtype = resolve_weight_dtype(gcfg, B, tp_axis)
@@ -519,6 +577,10 @@ def generate_stream(
 
     gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
     B = batch["topic_ids"].shape[0]
+    if gcfg.cache_dtype == "auto":
+        gcfg = dataclasses.replace(
+            gcfg, cache_dtype=resolve_cache_dtype(gcfg, B)
+        )
     d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
     attn_impl = resolve_attn_impl(gcfg, d_kv, None, batch_size=B)
     weight_dtype = resolve_weight_dtype(gcfg, B, None)
@@ -567,6 +629,8 @@ def teacher_forced_decode_logits(
     ``model.py:291-326`` once per position). Compare against
     :func:`mmtg_tpu.oracle.oracle_forward_infer` at each prefix length.
     """
+    import dataclasses
+
     table = const["wenlan_table"]
     scheme = (
         infer_scheme_type_ids
@@ -574,6 +638,10 @@ def teacher_forced_decode_logits(
         else train_scheme_type_ids
     )
     B, K = tokens.shape
+    if gcfg.cache_dtype == "auto":
+        gcfg = dataclasses.replace(
+            gcfg, cache_dtype=resolve_cache_dtype(gcfg, B)
+        )
     P = dcfg.topic_prompt_length
     capacity = _round_up(P + K + 1, 128)
 
@@ -706,7 +774,7 @@ def generate_sharded(
     )
 
     tp = mesh.shape[MODEL_AXIS]
-    # 'auto' weights AND 'auto' attention resolve from the GLOBAL batch
+    # 'auto' cache, weights AND attention resolve from the GLOBAL batch
     # here (inside the shard_map each data shard would only see
     # batch/data rows, flipping the 32-row weight threshold / the ≤2-row
     # xla-attention gate with mesh shape — the outputs must not). The
@@ -714,6 +782,14 @@ def generate_sharded(
     # to the concrete value downstream (TP shards with d_kv/tp not
     # 128-aligned fall back to the XLA path regardless).
     global_b = batch["topic_ids"].shape[0]
+    if gcfg.cache_dtype == "auto":
+        # every meshed decode resolves fp (resolve_cache_dtype docstring:
+        # the resolution must not depend on the mesh shape, and int8 is
+        # not TP-invariant)
+        gcfg = dataclasses.replace(
+            gcfg, cache_dtype=resolve_cache_dtype(gcfg, global_b,
+                                                  sharded=True)
+        )
     if gcfg.weight_dtype == "auto":
         gcfg = dataclasses.replace(
             gcfg, weight_dtype=resolve_weight_dtype(gcfg, global_b)

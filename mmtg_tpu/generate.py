@@ -48,8 +48,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_samples_path", default="", type=str)
     p.add_argument("--type_id_scheme", default="train",
                    choices=["train", "reference_infer"])
-    p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"],
-                   help="KV cache precision (int8 halves decode HBM traffic)")
+    p.add_argument("--cache_dtype", default="auto",
+                   choices=["auto", "model", "int8", "int4"],
+                   help="KV cache precision; 'auto' resolves ONCE per run "
+                        "from the batch size (full precision at batch 1 "
+                        "where the int8 quantize/dequant ops are pure "
+                        "overhead, int8 otherwise — halves decode HBM "
+                        "traffic at larger batches)")
     p.add_argument("--weight_dtype", default="auto",
                    choices=["auto", "model", "int8"],
                    help="decode-matmul weight precision; 'auto' resolves "
@@ -144,12 +149,22 @@ def main(argv=None, mcfg: ModelConfig | None = None,
             )
         else:
             mcfg, dcfg = ModelConfig(), DataConfig()
-    # 'auto' weights resolve ONCE per run from the nominal batch size so
-    # ragged tail batches sample with the exact numerics of full ones
-    # (decoding.resolve_weight_dtype would otherwise flip at B=32).
+    # 'auto' weights/cache resolve ONCE per run from the nominal batch
+    # size so every batch of the run samples with identical numerics
+    # (decoding.resolve_weight_dtype would otherwise flip at B=32,
+    # resolve_cache_dtype at B=1).
     weight_dtype = args.weight_dtype
     if weight_dtype == "auto":
         weight_dtype = "int8" if args.batch_size <= 32 else "model"
+    cache_dtype = args.cache_dtype
+    if cache_dtype == "auto":
+        # the decode batch is rows_per_batch × n_samples, padded static;
+        # ANY meshed run resolves full precision (the outputs must not
+        # depend on the mesh shape and the int8 cache's shard-local
+        # scales are not TP-invariant — decoding.resolve_cache_dtype)
+        decode_b = max(args.batch_size // args.n_samples, 1) * args.n_samples
+        meshed = args.mesh_data != 1 or args.mesh_model != 1
+        cache_dtype = "model" if decode_b <= 1 or meshed else "int8"
     gcfg = GenerateConfig(
         batch_size=args.batch_size,
         seed=args.seed,
@@ -160,7 +175,7 @@ def main(argv=None, mcfg: ModelConfig | None = None,
         n_samples=args.n_samples,
         length=dcfg.max_seq_length,
         type_id_scheme=args.type_id_scheme,
-        cache_dtype=args.cache_dtype,
+        cache_dtype=cache_dtype,
         weight_dtype=weight_dtype,
         topk_impl=args.topk_impl,
         attn_impl=args.attn_impl,

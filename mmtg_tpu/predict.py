@@ -37,7 +37,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--topp", default=0.7, type=float)
     p.add_argument("--repetition_penalty", default=1.5, type=float)
     p.add_argument("--n_samples", default=5, type=int)
-    p.add_argument("--cache_dtype", default="model", choices=["model", "int8", "int4"])
+    p.add_argument("--cache_dtype", default="auto",
+                   choices=["auto", "model", "int8", "int4"])
     p.add_argument("--weight_dtype", default="auto",
                    choices=["auto", "model", "int8"],
                    help="decode-matmul weight precision; 'auto' → int8 at "

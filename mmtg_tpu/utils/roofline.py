@@ -90,8 +90,10 @@ def decode_bytes_model(
     cache_stream = L * B * d * 2 * cb * (length * (length + 1) / 2)
     # (2) decode-weight reads: every step reads all matmul weights once
     #     (qkv, proj, fc, fc-proj per layer) + the LM-head matrix.
+    #     gpt2.quantize_decode_weights quantizes the LM head (wte_q) with
+    #     the glue matmuls, so the head also reads at weight_dtype bytes.
     per_layer_w = (d * 3 * d + d * d + d * 4 * d + 4 * d * d)
-    weight_read = (L * per_layer_w * wb + V * d * mb) * length
+    weight_read = (L * per_layer_w * wb + V * d * wb) * length
     # (3) cache append writes: L × B × d × 2 per step.
     cache_write = L * B * d * 2 * cb * length
 

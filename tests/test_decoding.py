@@ -208,6 +208,43 @@ def test_auto_weight_dtype_resolution(gen_setup):
     np.testing.assert_array_equal(got, explicit)
 
 
+def test_auto_cache_dtype_resolution(gen_setup):
+    """'auto' cache → full precision at B = 1 (the op-count-bound xla
+    regime, where the int8 quantize/scale-DUS/dequant chain is pure
+    overhead — measured b1 91.9 ms fp vs 108.3 int8, docs/PERF.md
+    "Round-4 latency regime"), int8 from B = 2 up; and the auto decode
+    is token-identical to the explicit dtype it resolves to."""
+    from mmtg_tpu.decoding import resolve_cache_dtype
+
+    params, const, mcfg, dcfg, jb = gen_setup
+    auto = GenerateConfig(length=46, top_k=8, cache_dtype="auto")
+    assert resolve_cache_dtype(auto, 1) == "model"
+    assert resolve_cache_dtype(auto, 2) == "int8"
+    assert resolve_cache_dtype(auto, 512) == "int8"
+    # any sharded context -> fp: the resolution must not depend on the
+    # mesh shape, and the int8 cache's shard-local scales are not
+    # TP-invariant (resolve_cache_dtype docstring)
+    assert resolve_cache_dtype(auto, 512, sharded=True) == "model"
+    assert resolve_cache_dtype(GenerateConfig(cache_dtype="int4"), 1) == "int4"
+    assert resolve_cache_dtype(
+        GenerateConfig(cache_dtype="int8"), 1, sharded=True) == "int8"
+
+    rng = jax.random.PRNGKey(11)
+    jb1 = {k: v[:1] for k, v in jb.items()}
+    got_b1 = np.asarray(generate(params, const, mcfg, dcfg, auto, jb1, rng))
+    fp_b1 = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, cache_dtype="model"), jb1, rng,
+    ))
+    np.testing.assert_array_equal(got_b1, fp_b1)
+    got_b2 = np.asarray(generate(params, const, mcfg, dcfg, auto, jb, rng))
+    int8_b2 = np.asarray(generate(
+        params, const, mcfg, dcfg,
+        GenerateConfig(length=46, top_k=8, cache_dtype="int8"), jb, rng,
+    ))
+    np.testing.assert_array_equal(got_b2, int8_b2)
+
+
 def test_auto_attn_impl_batch_gate(monkeypatch):
     """'auto' attention → XLA at decode batch 1 even on TPU backends
     (measured r04: the per-layer Pallas kernels' fixed DMA cost + the pad

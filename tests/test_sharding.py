@@ -155,7 +155,11 @@ def test_tp_decode_matches_dp_decode(setup, tp):
 @pytest.mark.parametrize("tp", [2])
 def test_tp_decode_int8_cache(setup, tp):
     """TP decode with the int8-quantized (head-sharded) KV cache keeps the
-    frame grid and matches the DP int8 decode."""
+    frame grid. NOTE: token-level equality with the DP int8 decode is NOT
+    asserted — the per-row cache scales abs-max over the LOCAL head shard,
+    so int8-cached TP decode is numerics-variant per mesh shape; this is
+    why `cache_dtype='auto'` resolves every sharded run to full precision
+    (decoding.resolve_cache_dtype)."""
     from mmtg_tpu.configs import GenerateConfig, SpecialTokens
     from mmtg_tpu.decoding import generate_sharded
 

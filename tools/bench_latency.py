@@ -35,8 +35,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,8,32")
     ap.add_argument("--weight-dtypes", default="model,int8")
-    ap.add_argument("--cache-dtype", default="int8",
-                    choices=["model", "int8", "int4"])
+    ap.add_argument("--cache-dtype", default="auto",
+                    choices=["auto", "model", "int8", "int4"],
+                    help="'auto' = what a flagless generate resolves to "
+                         "(full precision at b1 — the int8 quantize/dequant "
+                         "chain is pure op-count overhead there — int8 from "
+                         "b2 up)")
     ap.add_argument("--attn-impl", default="auto",
                     choices=["auto", "pallas", "fused", "xla"],
                     help="decode attention implementation to A/B in the "
@@ -128,14 +132,16 @@ def main() -> None:
             p50 = times[len(times) // 2]
 
             from mmtg_tpu.decoding import (resolve_attn_impl,
+                                           resolve_cache_dtype,
                                            resolve_layer_unroll,
                                            resolve_weight_dtype)
 
             # 'auto' is a policy, not a byte width — resolve it the way
             # generate does before modeling the memory floor.
             wd_eff = resolve_weight_dtype(gcfg, B)
+            cd_eff = resolve_cache_dtype(gcfg, B)
             m = decode_bytes_model(mcfg, dcfg, B, args.length,
-                                   cache_dtype=args.cache_dtype,
+                                   cache_dtype=cd_eff,
                                    weight_dtype=wd_eff,
                                    model_dtype="bfloat16")
             floor_ms = m["total_bytes"] / (peak * 1e9) * 1e3 \
@@ -143,6 +149,7 @@ def main() -> None:
 
             rows.append({
                 "batch": B,
+                "cache_dtype": cd_eff,
                 "weight_dtype": wd_eff if wd == "auto" else wd,
                 "attn_impl": resolve_attn_impl(gcfg, mcfg.gpt2.n_embd,
                                                batch_size=B),
