@@ -28,6 +28,14 @@ Design (TPU-first — see docs/PERF.md for the measurements behind each):
   NOT on which other requests share its batch — so the batcher groups
   requests freely without changing anyone's output, and a client can
   replay any response deterministically.
+* **Streaming lanes** (``POST /generate_stream`` → Server-Sent Events):
+  interactive clients get tokens sentence-by-sentence via
+  :func:`mmtg_tpu.decoding.generate_stream` (one compiled chunk program
+  re-dispatched per block, so time-to-first-sentence ≈ prefill + one
+  chunk). Because the per-row PRNG stream is keyed on the global step, a
+  streamed response is TOKEN-IDENTICAL to the batched one for the same
+  (sample, seed). Streams run outside the window batcher on a bounded
+  number of lanes (``max_streams``) and shed at the edge when saturated.
 """
 
 from __future__ import annotations
@@ -157,6 +165,7 @@ class GenerationService:
         base_seed: int = 0,
         mesh=None,
         max_queue_depth: int = 4096,
+        max_streams: int = 1,
     ):
         if list(buckets) != sorted(set(int(b) for b in buckets)) or not buckets:
             raise ValueError(f"buckets must be ascending and unique: {buckets}")
@@ -187,19 +196,23 @@ class GenerationService:
         self.mcfg = mcfg
         self.dcfg = dcfg
         self.buckets = tuple(int(b) for b in buckets)
-        if gcfg.weight_dtype == "auto":
+        if "auto" in (gcfg.weight_dtype, gcfg.cache_dtype):
             # resolve ONCE from the LARGEST bucket: every bucket must
-            # share one weight precision or the same (request, seed)
-            # would decode differently depending on which bucket its
-            # window landed in — breaking batch-composition invariance
+            # share one weight AND cache precision or the same
+            # (request, seed) would decode differently depending on
+            # which bucket its window landed in — breaking
+            # batch-composition invariance
             # (test_row_seeds_batch_composition_invariance)
             import dataclasses
 
-            from mmtg_tpu.decoding import resolve_weight_dtype
+            from mmtg_tpu.decoding import (resolve_cache_dtype,
+                                           resolve_weight_dtype)
 
             gcfg = dataclasses.replace(
                 gcfg,
                 weight_dtype=resolve_weight_dtype(gcfg, max(self.buckets)),
+                cache_dtype=resolve_cache_dtype(gcfg, max(self.buckets),
+                                                sharded=mesh is not None),
             )
         self.gcfg = gcfg
         self.max_wait_ms = float(max_wait_ms)
@@ -217,6 +230,13 @@ class GenerationService:
         # then fails fast with the cause instead of queueing into a void
         self._engine_error: Optional[BaseException] = None
         self._lock = threading.Lock()
+        # streaming lanes: stream() runs OUTSIDE the window batcher (its
+        # chunk programs interleave with window dispatches on the device),
+        # so cap concurrent streams to keep them from starving the
+        # batched path; excess streams are shed at the edge like queue
+        # overflow
+        self.max_streams = int(max_streams)
+        self._stream_sem = threading.BoundedSemaphore(max(1, self.max_streams))
         self._stats = {
             "requests": 0,
             "batches": 0,
@@ -226,6 +246,8 @@ class GenerationService:
             "rejected": 0,
             "served": 0,
             "tokens_served": 0,
+            "streams": 0,
+            "stream_tokens": 0,
         }
         self._latencies_ms: list[float] = []
         self._t_start = time.monotonic()
@@ -345,6 +367,80 @@ class GenerationService:
 
     def generate_sync(self, sample, seed: int, timeout: float = 600.0):
         return self.submit(sample, seed).result(timeout=timeout)
+
+    def stream(self, sample: Dict[str, np.ndarray], seed: int,
+               chunk: Optional[int] = None):
+        """Stream one request's tokens as they decode — ``[n]`` int32
+        blocks (one 22-token lyric sentence per block by default), via
+        :func:`mmtg_tpu.decoding.generate_stream`.
+
+        **Bit-identical to the batched path**: the per-row PRNG stream
+        depends only on ``(base_seed, seed, step)``, so
+        ``[START] + concat(blocks) == submit(sample, seed)`` token for
+        token (``test_stream_matches_batched``) — a client can stream
+        interactively and re-fetch the same lyric batched later. The
+        reference has no streaming at all (its loop prints after the
+        full 220-token sample, ``generate.py:97-145``).
+
+        Runs OUTSIDE the window batcher on one of ``max_streams`` lanes
+        (chunk programs interleave with window dispatches on the
+        device); when all lanes are busy the first ``next()`` raises
+        :class:`ServiceOverloaded` — shed at the edge, like queue
+        overflow. Single-mesh services only (the sharded path stays
+        one-shot). Lane acquisition, weight snapshot (hot-swap safe) and
+        stats happen lazily on first ``next()`` so an unconsumed
+        generator can never leak a lane; shape/seed validation is eager.
+        """
+        self._validate(sample)
+        if self._thread is None or self._stopping:
+            raise RuntimeError("service not started or stopping")
+        if self.mesh is not None:
+            raise ValueError(
+                "streaming runs single-mesh; use /generate on mesh services"
+            )
+        seed = int(seed) & 0xFFFFFFFF
+        if seed >= 2**31:
+            seed -= 2**32
+        sample = {k: np.asarray(sample[k]) for k in SAMPLE_KEYS}
+
+        def lane():
+            if not self._stream_sem.acquire(blocking=False):
+                with self._lock:
+                    self._stats["rejected"] += 1
+                raise ServiceOverloaded(
+                    f"all {self.max_streams} streaming lanes busy"
+                )
+            try:
+                # snapshot once: a /reload mid-stream must not mix weights
+                params, const = self.params, self.const
+                batch = {
+                    k: jnp.asarray(
+                        np.asarray(
+                            sample[k],
+                            np.float32 if k in _FLOAT_KEYS else np.int32,
+                        )[None]
+                    )
+                    for k in SAMPLE_KEYS
+                }
+                with self._lock:
+                    self._stats["streams"] += 1
+                from mmtg_tpu.decoding import generate_stream
+
+                n_out = 0
+                for toks in generate_stream(
+                    params, const, self.mcfg, self.dcfg, self.gcfg, batch,
+                    self._rng, row_seeds=jnp.asarray([seed], jnp.int32),
+                    chunk=chunk,
+                ):
+                    arr = np.asarray(toks)[0]
+                    n_out += arr.size
+                    yield arr
+                with self._lock:
+                    self._stats["stream_tokens"] += n_out
+            finally:
+                self._stream_sem.release()
+
+        return lane()
 
     def swap_params(self, new_params) -> None:
         """Hot-swap model weights with ZERO recompiles (identical
@@ -608,6 +704,9 @@ def prometheus_metrics(stats: Dict) -> str:
         "rejected": ("rejected_total", "Rows shed at the queue edge"),
         "cancelled": ("cancelled_total", "Rows cancelled before dispatch"),
         "errors": ("errors_total", "Windows failed in decode/collect"),
+        "streams": ("streams_total", "Streaming requests started"),
+        "stream_tokens": ("stream_tokens_total",
+                          "Tokens delivered over streaming lanes"),
     }
     gauges = {
         "mean_fill": ("window_fill_ratio", "served/(served+padded) rows"),
@@ -667,6 +766,71 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
+    def _stream_post(self, svc: "GenerationService") -> None:
+        """POST /generate_stream — Server-Sent Events: one ``data:`` event
+        per decoded block (default one 22-token lyric sentence), then a
+        terminal ``{"done": true}`` event. Body as /generate (JSON or
+        npz); JSON additionally takes ``chunk`` (tokens per event).
+        Token-identical to /generate for the same (sample, seed) —
+        ``[START] + concat(event tokens) == /generate's "tokens"``."""
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n)
+            ctype = self.headers.get("Content-Type", "")
+            chunk = None
+            if NPZ_CONTENT_TYPE in ctype or body[:4] == _ZIP_MAGIC:
+                sample, meta = decode_request_npz(body)
+                seed, want_text = meta["seed"], meta["text"]
+            else:
+                req = json.loads(body or b"{}")
+                sample = {k: np.asarray(v) for k, v in req["sample"].items()}
+                seed = int(req.get("seed", 0))
+                want_text = bool(req.get("text", True))
+                if req.get("chunk") is not None:
+                    chunk = int(req["chunk"])
+            t0 = time.monotonic()
+            it = svc.stream(sample, seed, chunk=chunk)
+            first = next(it)  # lane acquisition + prefill happen here:
+            # errors must surface BEFORE the 200/event-stream header
+        except ServiceOverloaded as e:
+            self._json(503, {"error": str(e)})
+            return
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError,
+                zipfile.BadZipFile) as e:
+            self._json(400, {"error": str(e)})
+            return
+        except Exception as e:  # pragma: no cover - defensive
+            self._json(500, {"error": str(e)})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        tok = getattr(self.server, "tokenizer", None)
+        n_tokens = 0
+
+        def emit(block) -> None:
+            nonlocal n_tokens
+            n_tokens += int(block.size)
+            ev: Dict = {"tokens": block.tolist()}
+            if tok is not None and want_text:
+                from mmtg_tpu.decoding import postprocess_tokens
+
+                ev["text"] = postprocess_tokens(block, tok)
+            self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode("utf-8"))
+            self.wfile.flush()
+
+        try:
+            emit(first)
+            for block in it:
+                emit(block)
+            done = {"done": True, "seed": seed, "tokens_total": n_tokens,
+                    "latency_ms": (time.monotonic() - t0) * 1e3}
+            self.wfile.write(f"data: {json.dumps(done)}\n\n".encode("utf-8"))
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            it.close()  # client hung up: release the lane, stop decoding
+
     def do_POST(self):  # noqa: N802
         svc: GenerationService = self.server.service  # type: ignore[attr-defined]
         if self.path == "/reload":
@@ -686,6 +850,9 @@ class _Handler(BaseHTTPRequestHandler):
                 # corrupt .pth / half-written Orbax dir / permissions: a
                 # JSON 500 beats a dropped socket for the operator
                 self._json(500, {"error": str(e)})
+            return
+        if self.path == "/generate_stream":
+            self._stream_post(svc)
             return
         if self.path != "/generate":
             self._json(404, {"error": f"unknown path {self.path}"})
@@ -761,6 +928,10 @@ def build_arg_parser():
                    help="skip compile-ahead of every bucket at startup")
     p.add_argument("--max_queue_depth", default=4096, type=int,
                    help="shed load (HTTP 503) past this many queued requests")
+    p.add_argument("--max_streams", default=1, type=int,
+                   help="concurrent /generate_stream lanes (each runs "
+                        "outside the window batcher; excess streams shed "
+                        "with 503)")
     return p
 
 
@@ -787,8 +958,8 @@ def build_service(args, mcfg: ModelConfig | None = None,
         else:
             mcfg, dcfg = ModelConfig(), DataConfig()
     buckets = tuple(int(b) for b in args.buckets.split(","))
-    # 'auto' weights resolve inside GenerationService.__init__ (once per
-    # service, from the largest bucket — see the invariance note there)
+    # 'auto' weights/cache resolve inside GenerationService.__init__ (once
+    # per service, from the largest bucket — see the invariance note there)
     gcfg = GenerateConfig(
         temperature=args.temperature,
         top_k=args.topk,
@@ -820,6 +991,7 @@ def build_service(args, mcfg: ModelConfig | None = None,
         base_seed=args.seed,
         mesh=mesh,
         max_queue_depth=args.max_queue_depth,
+        max_streams=args.max_streams,
     ).start()
     return service, tokenizer
 

@@ -436,6 +436,108 @@ def cli_artifacts(tmp_path_factory, request):
     }
 
 
+def test_stream_matches_batched(serve_setup):
+    """The streaming lane is bit-identical to the batched path: the
+    per-row PRNG stream depends only on (base_seed, request seed, step),
+    so [START] + concat(stream blocks) == submit()'s tokens — a client
+    can stream interactively and re-fetch the same lyric batched."""
+    from mmtg_tpu.configs import SpecialTokens
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    with svc:
+        blocks = list(svc.stream(samples[1], seed=9))
+        batched = np.asarray(svc.generate_sync(samples[1], 9))
+    streamed = np.concatenate(
+        [[SpecialTokens().start_id], np.concatenate(blocks)]
+    )
+    np.testing.assert_array_equal(streamed, batched)
+    assert len(blocks) > 1  # it actually streamed in chunks
+    st = svc.stats()
+    assert st["streams"] == 1 and st["stream_tokens"] == gcfg.length
+
+
+def test_stream_lane_shed_and_release(serve_setup):
+    """All lanes busy → the SECOND stream's first next() sheds with
+    ServiceOverloaded (like queue overflow); finishing or closing a
+    stream releases its lane. An unconsumed generator never holds one."""
+    from mmtg_tpu.serve import ServiceOverloaded
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, max_streams=1)
+    with svc:
+        it = svc.stream(samples[0], 1)
+        next(it)  # lane acquired lazily here
+        it2 = svc.stream(samples[0], 2)
+        with pytest.raises(ServiceOverloaded):
+            next(it2)
+        list(it)  # drain to completion -> lane released
+        it3 = svc.stream(samples[0], 3)
+        assert next(it3).size > 0
+        it3.close()  # client hang-up path also releases
+        it4 = svc.stream(samples[0], 4)
+        assert next(it4).size > 0
+        it4.close()
+        # bad shapes are rejected EAGERLY, before any lane is touched
+        with pytest.raises(ValueError, match="shape"):
+            svc.stream({**samples[0], "topic_emb": np.zeros(3)}, 0)
+    assert svc.stats()["rejected"] >= 1
+
+
+def test_stream_rejected_on_mesh_service(serve_setup):
+    from mmtg_tpu.parallel.mesh import make_mesh
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(8,), mesh=make_mesh((4, 1)))
+    with svc:
+        with pytest.raises(ValueError, match="single-mesh"):
+            svc.stream(samples[0], 0)
+
+
+def test_http_stream_endpoint(serve_setup, tokenizer):
+    """POST /generate_stream: SSE events, one per decoded block, then a
+    terminal done event; concatenated tokens equal /generate's for the
+    same (sample, seed)."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0, base_seed=0)
+    with svc:
+        httpd = serve_http(svc, port=0, tokenizer=tokenizer)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            body = json.dumps({
+                "sample": {k: np.asarray(v).tolist()
+                           for k, v in samples[0].items()},
+                "seed": 5,
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate_stream", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                assert r.headers["Content-Type"] == "text/event-stream"
+                raw = r.read().decode("utf-8")
+            events = [json.loads(ev[len("data: "):])
+                      for ev in raw.split("\n\n") if ev.startswith("data: ")]
+            assert events[-1].get("done") is True
+            assert events[-1]["tokens_total"] == gcfg.length
+            toks = [t_ for ev in events[:-1] for t_ in ev["tokens"]]
+            assert all(isinstance(ev.get("text"), str) for ev in events[:-1])
+            direct = _direct(params, const, mcfg, dcfg, gcfg,
+                             [samples[0]], [5])
+            np.testing.assert_array_equal(
+                np.asarray([int(direct[0][0])] + toks), direct[0]
+            )
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+
 def test_serve_cli_build_service(cli_artifacts):
     """The CLI wiring end-to-end with a tiny injected model: train a
     checkpoint, build the service through parsed args (tokenizer, ckpt
@@ -497,6 +599,33 @@ def test_service_resolves_auto_weight_dtype_once(serve_setup):
                                dataclasses.replace(gcfg, weight_dtype="model"),
                                buckets=(2,), max_wait_ms=0.0)
     assert pinned.gcfg.weight_dtype == "model"
+
+
+def test_service_resolves_auto_cache_dtype_once(serve_setup):
+    """cache_dtype='auto' pins from the LARGEST bucket, like weights —
+    even a bucket-1 window must use the shared int8 cache or the same
+    (request, seed) would decode differently by batch composition."""
+    import dataclasses
+
+    params, const, mcfg, dcfg, gcfg, _ = serve_setup
+    auto = dataclasses.replace(gcfg, cache_dtype="auto")
+    svc = GenerationService(params, const, mcfg, dcfg, auto,
+                            buckets=(1, 8), max_wait_ms=0.0)
+    assert svc.gcfg.cache_dtype == "int8"
+    solo = GenerationService(params, const, mcfg, dcfg, auto,
+                             buckets=(1,), max_wait_ms=0.0)
+    assert solo.gcfg.cache_dtype == "model"
+    pinned = GenerationService(params, const, mcfg, dcfg,
+                               dataclasses.replace(gcfg, cache_dtype="int8"),
+                               buckets=(1,), max_wait_ms=0.0)
+    assert pinned.gcfg.cache_dtype == "int8"
+    # meshed services resolve fp regardless of bucket (mesh-shape
+    # invariance — resolve_cache_dtype docstring)
+    from mmtg_tpu.parallel.mesh import make_mesh
+
+    meshed = GenerationService(params, const, mcfg, dcfg, auto,
+                               buckets=(8,), mesh=make_mesh((4, 1)))
+    assert meshed.gcfg.cache_dtype == "model"
 
 
 def test_serve_cli_mesh_flags(cli_artifacts):
