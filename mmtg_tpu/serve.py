@@ -426,17 +426,18 @@ class GenerationService:
                     self._stats["streams"] += 1
                 from mmtg_tpu.decoding import generate_stream
 
-                n_out = 0
                 for toks in generate_stream(
                     params, const, self.mcfg, self.dcfg, self.gcfg, batch,
                     self._rng, row_seeds=jnp.asarray([seed], jnp.int32),
                     chunk=chunk,
                 ):
                     arr = np.asarray(toks)[0]
-                    n_out += arr.size
+                    # count per block, not on exhaustion: a client
+                    # hang-up (GeneratorExit) must not lose the tokens
+                    # already delivered from /metrics
+                    with self._lock:
+                        self._stats["stream_tokens"] += int(arr.size)
                     yield arr
-                with self._lock:
-                    self._stats["stream_tokens"] += n_out
             finally:
                 self._stream_sem.release()
 
@@ -829,7 +830,13 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(f"data: {json.dumps(done)}\n\n".encode("utf-8"))
             self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
-            it.close()  # client hung up: release the lane, stop decoding
+            pass  # client hung up: stop decoding, lane released below
+        finally:
+            # ALWAYS close (no-op after exhaustion): any emit()-side error
+            # must release the lane now, not when the GC finds the
+            # suspended generator — with max_streams=1 a leaked lane
+            # 503s every stream until collection
+            it.close()
 
     def do_POST(self):  # noqa: N802
         svc: GenerationService = self.server.service  # type: ignore[attr-defined]

@@ -486,6 +486,22 @@ def test_stream_lane_shed_and_release(serve_setup):
     assert svc.stats()["rejected"] >= 1
 
 
+def test_stream_partial_tokens_counted_on_hangup(serve_setup):
+    """stream_tokens accounts per delivered block, not on exhaustion: a
+    client hang-up (generator close) keeps the tokens already delivered
+    in /metrics instead of losing the whole stream's count."""
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=0.0)
+    with svc:
+        it = svc.stream(samples[0], 1)
+        first = next(it)
+        it.close()  # hang up after one sentence
+        st = svc.stats()
+        assert st["stream_tokens"] == first.size
+        assert 0 < st["stream_tokens"] < gcfg.length
+
+
 def test_stream_rejected_on_mesh_service(serve_setup):
     from mmtg_tpu.parallel.mesh import make_mesh
 
