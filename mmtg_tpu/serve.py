@@ -432,9 +432,10 @@ class GenerationService:
                     chunk=chunk,
                 ):
                     arr = np.asarray(toks)[0]
-                    # count per block, not on exhaustion: a client
-                    # hang-up (GeneratorExit) must not lose the tokens
-                    # already delivered from /metrics
+                    # count per block, not on exhaustion: tokens DECODED
+                    # and handed off to the consumer (the final block may
+                    # be counted yet never reach a client that hangs up
+                    # mid-yield)
                     with self._lock:
                         self._stats["stream_tokens"] += int(arr.size)
                     yield arr

@@ -38,7 +38,12 @@ from mmtg_tpu.loss import (
     weighted_mean,
 )
 from mmtg_tpu.models.mmtg import init_mmtg_params, mmtg_forward_train
-from mmtg_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from mmtg_tpu.parallel.mesh import (
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
 from mmtg_tpu.utils.logging import StepTimer, format_time, setup_logger
 
 
@@ -185,7 +190,8 @@ def loss_and_metrics(
     return total, {"loss": loss, "kl": kl, "total": total, "kept": jnp.sum(weights)}
 
 
-def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None):
+def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None,
+                    param_shardings=None):
     """One jitted, donated train step (grad → clip → AdamW → apply).
 
     ``const`` (the ~109MB WenLan gather table) is a runtime argument, NOT
@@ -201,7 +207,17 @@ def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None):
     updated optimizer state to its data-axis shards
     (``parallel.mesh.zero1_opt_shardings``), so the AdamW moment update
     runs — and its state lives — 1/dp-sharded per device instead of
-    replicated."""
+    replicated.
+
+    ``param_shardings``: a NamedSharding tree pinning the UPDATED params
+    to the same canonical layout the inputs were placed at
+    (``parallel.mesh.param_shardings`` / ``pipeline.pp_param_shardings``).
+    Without it GSPMD is free to invent exotic output shardings for the
+    updated params (e.g. a 4x2 factorization of the data axis across two
+    tensor dims), which then become the INPUT shardings of every
+    downstream compile (eval/decode) and trigger
+    "[SPMD] Involuntary full rematerialization" — a replicate-then-
+    repartition of the tensor on every call."""
 
     def _grads_and_metrics(params, const, batch, stage, dropout_rng):
         """One fwd+bwd over the whole batch, or ``tcfg.grad_accum``
@@ -290,6 +306,8 @@ def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None):
         opt_state = jax.tree.map(
             lambda n, o: jnp.where(keep, n, o), opt_state, state.opt_state
         )
+        if param_shardings is not None:
+            params = jax.lax.with_sharding_constraint(params, param_shardings)
         return TrainState(params, opt_state, state.step + 1, rng), metrics
 
     return train_step
@@ -670,6 +688,9 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
                 2 * args.mesh_pipe,
             ) or 1
         pp = (mesh, n_micro)
+        from mmtg_tpu.parallel.pipeline import pp_param_shardings
+
+        psh = pp_param_shardings(state.params, mesh)
         sharded = shard_params_pp(state.params, mesh)
     else:
         mesh = make_mesh(
@@ -677,6 +698,7 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
             if args.mesh_data == 0
             else (args.mesh_data, args.mesh_model)
         )
+        psh = param_shardings(state.params, mesh)
         sharded = shard_params(state.params, mesh)
     opt_state = state.opt_state
     if args.zero1:
@@ -689,16 +711,18 @@ def main(argv=None, mcfg: Optional[ModelConfig] = None,
         return _train_loop(
             state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data,
             curriculums, args, logger, mesh, start_epoch=start_epoch, pp=pp,
-            zero1_shardings=zero1_sh,
+            zero1_shardings=zero1_sh, param_shardings=psh,
         )
 
 
 def _train_loop(
     state, tx, const, mcfg, dcfg, tcfg, train_data, valid_data, curriculums,
     args, logger, mesh, start_epoch: int = 0, pp=None, zero1_shardings=None,
+    param_shardings=None,
 ) -> float:
     train_step = make_train_step(
-        mcfg, dcfg, tcfg, tx, pp=pp, zero1_shardings=zero1_shardings
+        mcfg, dcfg, tcfg, tx, pp=pp, zero1_shardings=zero1_shardings,
+        param_shardings=param_shardings,
     )
     eval_step = make_eval_step(mcfg, dcfg, tcfg, pp=pp)
     timer = StepTimer()

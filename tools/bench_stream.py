@@ -111,7 +111,8 @@ def main() -> None:
                 "blocks_per_stream": n_blocks,
                 "ttfs_ms_p50": round(_p50(ttfs), 1),
                 "ttfs_ms_best": round(min(ttfs), 1),
-                "inter_block_ms_p50": round(_p50(gaps), 1),
+                # chunk >= length => one block per stream, no gaps
+                "inter_block_ms_p50": round(_p50(gaps), 1) if gaps else None,
                 "stream_total_ms_p50": round(_p50(totals), 1),
                 "oneshot_ms_p50": round(_p50(oneshot), 1),
                 "stream_overhead_ms_p50": round(
