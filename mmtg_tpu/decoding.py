@@ -511,6 +511,7 @@ def _prefill_stream_jit(params, const, mcfg, dcfg, gcfg, batch, attn_impl,
     jax.jit,
     static_argnames=("mcfg", "dcfg", "gcfg", "chunk", "attn_impl", "unroll",
                      "tp_axis"),
+    donate_argnums=(4,),
 )
 def _stream_chunk_jit(params, gpt2_params, table, fused, state, rng,
                       row_seeds, start, mcfg, dcfg, gcfg, chunk, attn_impl,
@@ -520,7 +521,10 @@ def _stream_chunk_jit(params, gpt2_params, table, fused, state, rng,
     ``start`` is a traced scalar — every chunk of a given size reuses one
     compiled program (the per-step PRNG folds in the global index, and all
     cache/token writes are dynamic slices at ``start``-relative positions,
-    so nothing about the computation is offset-dependent)."""
+    so nothing about the computation is offset-dependent). ``state`` is
+    DONATED: without it every chunk call would copy the full KV cache
+    once before its in-place scan updates (callers never reuse the old
+    state; on backends without donation support this is a no-op warning)."""
     step = _build_step(
         params, gpt2_params, table, fused, rng, _row_keys(rng, row_seeds),
         mcfg, dcfg, gcfg, attn_impl, unroll, tp_axis,
@@ -731,6 +735,53 @@ def postprocess_tokens(token_ids, tokenizer) -> str:
     return "，".join(sents)
 
 
+def _resolve_sharded_gcfg(params, mcfg, gcfg, global_b: int, tp: int):
+    """Pin every 'auto' resolution from the GLOBAL batch for a meshed run
+    (inside the shard_map each data shard would only see batch/dp rows,
+    flipping the 32-row weight threshold / the ≤2-row xla-attention gate
+    with mesh shape — the outputs must not). Shared by
+    :func:`generate_sharded` and :func:`generate_stream_sharded`."""
+    import dataclasses
+
+    from mmtg_tpu.parallel.mesh import MODEL_AXIS
+
+    if gcfg.cache_dtype == "auto":
+        # every meshed decode resolves fp (resolve_cache_dtype docstring:
+        # the resolution must not depend on the mesh shape, and int8 is
+        # not TP-invariant)
+        gcfg = dataclasses.replace(
+            gcfg, cache_dtype=resolve_cache_dtype(gcfg, global_b,
+                                                  sharded=True)
+        )
+    if gcfg.weight_dtype == "auto":
+        gcfg = dataclasses.replace(
+            gcfg, weight_dtype=resolve_weight_dtype(gcfg, global_b)
+        )
+    if gcfg.attn_impl == "auto":
+        d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
+        gcfg = dataclasses.replace(
+            gcfg,
+            attn_impl=resolve_attn_impl(
+                gcfg, d_kv,
+                MODEL_AXIS if tp > 1 else None,
+                batch_size=global_b,
+            ),
+        )
+    if gcfg.layer_unroll == "auto":
+        # gcfg.attn_impl is concrete by now (replaced above when 'auto');
+        # a per-shard pallas→xla %128 fallback downstream would leave an
+        # unrolled xla step — slower, but math-identical, so mesh-shape
+        # output invariance still holds.
+        gcfg = dataclasses.replace(
+            gcfg,
+            layer_unroll=str(resolve_layer_unroll(
+                gcfg, mcfg.gpt2.n_layer, batch_size=global_b,
+                attn_impl=gcfg.attn_impl,
+            )),
+        )
+    return gcfg
+
+
 def generate_sharded(
     params: Dict,
     const: Dict,
@@ -774,48 +825,12 @@ def generate_sharded(
     )
 
     tp = mesh.shape[MODEL_AXIS]
-    # 'auto' cache, weights AND attention resolve from the GLOBAL batch
-    # here (inside the shard_map each data shard would only see
-    # batch/data rows, flipping the 32-row weight threshold / the ≤2-row
-    # xla-attention gate with mesh shape — the outputs must not). The
-    # per-shard Mosaic %128 lane gate in resolve_attn_impl still applies
-    # to the concrete value downstream (TP shards with d_kv/tp not
+    # 'auto' resolutions pin from the GLOBAL batch (_resolve_sharded_gcfg).
+    # The per-shard Mosaic %128 lane gate in resolve_attn_impl still
+    # applies to the concrete value downstream (TP shards with d_kv/tp not
     # 128-aligned fall back to the XLA path regardless).
     global_b = batch["topic_ids"].shape[0]
-    if gcfg.cache_dtype == "auto":
-        # every meshed decode resolves fp (resolve_cache_dtype docstring:
-        # the resolution must not depend on the mesh shape, and int8 is
-        # not TP-invariant)
-        gcfg = dataclasses.replace(
-            gcfg, cache_dtype=resolve_cache_dtype(gcfg, global_b,
-                                                  sharded=True)
-        )
-    if gcfg.weight_dtype == "auto":
-        gcfg = dataclasses.replace(
-            gcfg, weight_dtype=resolve_weight_dtype(gcfg, global_b)
-        )
-    if gcfg.attn_impl == "auto":
-        d_kv = params["gpt2"]["h"]["attn_w"].shape[-1] // 3
-        gcfg = dataclasses.replace(
-            gcfg,
-            attn_impl=resolve_attn_impl(
-                gcfg, d_kv,
-                MODEL_AXIS if tp > 1 else None,
-                batch_size=global_b,
-            ),
-        )
-    if gcfg.layer_unroll == "auto":
-        # gcfg.attn_impl is concrete by now (replaced above when 'auto');
-        # a per-shard pallas→xla %128 fallback downstream would leave an
-        # unrolled xla step — slower, but math-identical, so mesh-shape
-        # output invariance still holds.
-        gcfg = dataclasses.replace(
-            gcfg,
-            layer_unroll=str(resolve_layer_unroll(
-                gcfg, mcfg.gpt2.n_layer, batch_size=global_b,
-                attn_impl=gcfg.attn_impl,
-            )),
-        )
+    gcfg = _resolve_sharded_gcfg(params, mcfg, gcfg, global_b, tp)
     batch_spec = {k: P(DATA_AXIS) for k in batch}
     seed_specs = () if row_seeds is None else (P(DATA_AXIS),)
     seed_args = () if row_seeds is None else (row_seeds,)
@@ -882,3 +897,228 @@ def generate_sharded(
         check_vma=False,
     )
     return fn(params, const, batch, rng, *seed_args)
+
+
+# Compiled program cache for the sharded streaming path: the serving layer
+# dispatches one prefill + ~10 chunk programs per streamed window, so the
+# shard_map-wrapped jits must be BUILT once per (mesh, configs, chunk
+# size) and reused — a fresh jax.jit object per call would retrace every
+# window. Keys are hashable (Mesh hashes on devices+axes, the configs are
+# frozen dataclasses).
+_STREAM_SHARDED_FNS: Dict = {}
+
+
+def _stream_sharded_clear_cache():
+    _STREAM_SHARDED_FNS.clear()
+
+
+def generate_stream_sharded(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    gcfg: GenerateConfig,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    mesh,
+    row_seeds: jnp.ndarray | None = None,
+    chunk: int | None = None,
+):
+    """Streaming generation over a DP×TP device mesh: yield ``[B, chunk]``
+    token blocks as they decode, bit-identical to :func:`generate_sharded`
+    (and — with ``row_seeds`` — to the single-device :func:`generate`).
+
+    The decode state (KV cache, tokens, seen-counts) lives ON-MESH between
+    chunk calls: the prefill shard_map returns it sharded (cache batch
+    over ``data``, head dim over ``model`` under TP) and each chunk
+    program takes/returns it at the same shardings, so streaming adds no
+    host round-trip of state — only the yielded ``[B, chunk]`` token
+    blocks cross to host. This is what lets the serving layer pack
+    streamed requests into ordinary batched windows on meshed services
+    instead of running them on dedicated batch-1 lanes.
+
+    Constraints: the global batch must divide by the mesh's data axis
+    (same as :func:`generate_sharded`); an explicitly quantized KV cache
+    under TP (>1 model shards) is rejected — its shard-local scales
+    cannot cross the chunk boundary as a named sharding (the 'auto'
+    resolution on any mesh is full precision, which streams fine).
+    """
+    import dataclasses
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmtg_tpu.models.gpt2 import KVCache
+    from mmtg_tpu.parallel.mesh import (
+        DATA_AXIS,
+        MODEL_AXIS,
+        decode_param_pspecs,
+        tp_decode_params,
+    )
+
+    tp = mesh.shape[MODEL_AXIS]
+    tp_axis = MODEL_AXIS if tp > 1 else None
+    global_b = batch["topic_ids"].shape[0]
+    gcfg = dataclasses.replace(gcfg, seed=0, batch_size=0, n_samples=0)
+    gcfg = _resolve_sharded_gcfg(params, mcfg, gcfg, global_b, tp)
+    if tp > 1 and gcfg.cache_dtype in ("int8", "int4"):
+        raise ValueError(
+            "generate_stream_sharded: a quantized KV cache under tensor "
+            "parallelism is not streamable (shard-local scales cannot "
+            "cross the chunk boundary as a named sharding); use "
+            "cache_dtype='model' (the sharded 'auto' resolution) or a "
+            "DP-only mesh"
+        )
+    if chunk is None:
+        chunk = dcfg.sent_frame_length
+    chunk = max(1, min(int(chunk), gcfg.length))
+
+    if tp > 1:
+        params = tp_decode_params(
+            params, mcfg.gpt2.n_head, mcfg.gpt2.head_dim, tp
+        )
+        param_specs = decode_param_pspecs(params)
+    else:
+        param_specs = P()
+    batch_spec = {k: P(DATA_AXIS) for k in batch}
+    has_seeds = row_seeds is not None
+    seed_specs = (P(DATA_AXIS),) if has_seeds else ()
+    seed_args = (row_seeds,) if has_seeds else ()
+
+    # effective per-shard attention/unroll: the local head shard D/tp can
+    # demote pallas → xla via the %128 lane gate, exactly as
+    # _generate_jit would resolve from its local param shapes
+    attn_local = resolve_attn_impl(
+        gcfg, mcfg.gpt2.n_embd // tp, tp_axis, batch_size=global_b
+    )
+    unroll = resolve_layer_unroll(
+        gcfg, mcfg.gpt2.n_layer, batch_size=global_b, attn_impl=attn_local
+    )
+    quantized = gcfg.cache_dtype in ("int8", "int4")
+    merged = (
+        gcfg.merged_kv
+        and attn_local == "pallas"
+        and gcfg.cache_dtype == "int8"
+        and tp_axis is None
+    )
+    kd = P(None, DATA_AXIS, None, tp_axis)
+    cache_spec = KVCache(
+        k=kd,
+        v=(P() if merged else kd),  # merged sentinel v is a [0] array
+        k_scale=(P(None, DATA_AXIS, None) if quantized else None),
+        v_scale=(P(None, DATA_AXIS, None) if quantized else None),
+    )
+    state_specs = (cache_spec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                   P(DATA_AXIS))
+
+    def local_prefill(params, const, batch, *seed_args):
+        rs = seed_args[0] if seed_args else None
+        b, rs, _, _ = _pad_to_sublanes(attn_local, batch, rs)
+        state, _, _ = _prefill_state(
+            params, const, mcfg, dcfg, gcfg, b, attn_local,
+            gcfg.weight_dtype, tp_axis,
+        )
+        return state
+
+    def make_local_chunk(n: int):
+        def local_chunk(params, const, batch, state, rng, start, *seed_args):
+            rs = seed_args[0] if seed_args else None
+            b, rs, orig_b, _ = _pad_to_sublanes(attn_local, batch, rs)
+            if rs is None:
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(DATA_AXIS)
+                )
+            # the encoder re-run + (optional) weight re-quantization per
+            # chunk are one 5-step GRU and one pass over the decoder
+            # weights — noise next to the n-step scan, and they keep the
+            # cross-chunk state down to the decode carry alone
+            fused, _ = encode_experiences(
+                params, mcfg, b["topic_emb"], b["img_embs"], b["r_embs"],
+                use_fused_gru=attn_local == "pallas",
+            )
+            gpt2_params = params["gpt2"]
+            if gcfg.weight_dtype == "int8":
+                from mmtg_tpu.models.gpt2 import quantize_decode_weights
+
+                gpt2_params = quantize_decode_weights(
+                    gpt2_params, scale_axis=tp_axis
+                )
+            step = _build_step(
+                params, gpt2_params, const["wenlan_table"], fused, rng,
+                _row_keys(rng, rs), mcfg, dcfg, gcfg, attn_local, unroll,
+                tp_axis,
+            )
+
+            def step_tok(carry, i):
+                carry, _ = step(carry, i, window=None)
+                Bp = carry[2].shape[0]
+                tok = jax.lax.dynamic_slice(
+                    carry[2], (0, i + 1), (Bp, 1)
+                )[:, 0]
+                return carry, tok
+
+            state2, toks = jax.lax.scan(
+                step_tok, state, start + jnp.arange(n)
+            )
+            return state2, toks.T[:orig_b]
+
+        return local_chunk
+
+    def build_prefill():
+        return jax.jit(shard_map(
+            local_prefill,
+            mesh=mesh,
+            in_specs=(param_specs, P(), batch_spec) + seed_specs,
+            out_specs=state_specs,
+            check_vma=False,
+        ))
+
+    def build_chunk(n: int):
+        # state (arg 3) is donated — same rationale as _stream_chunk_jit:
+        # the chunk's in-place cache scan must not pay a full cache copy
+        return jax.jit(shard_map(
+            make_local_chunk(n),
+            mesh=mesh,
+            in_specs=(param_specs, P(), batch_spec, state_specs, P(), P())
+            + seed_specs,
+            out_specs=(state_specs, P(DATA_AXIS)),
+            check_vma=False,
+        ), donate_argnums=(3,))
+
+    base_key = (mesh, mcfg, dcfg, gcfg, has_seeds, global_b)
+    prefill_fn = _STREAM_SHARDED_FNS.get((base_key, "prefill"))
+    if prefill_fn is None:
+        prefill_fn = _STREAM_SHARDED_FNS[(base_key, "prefill")] = (
+            build_prefill()
+        )
+
+    # place inputs at the exact in_specs shardings (same rationale as
+    # generate_sharded: an in-graph reshard is an involuntary-remat per
+    # call; device_put does it once, out-of-graph)
+    def _put(tree, specs):
+        shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        return jax.device_put(tree, shardings)
+
+    params = _put(params, param_specs)
+    const = _put(const, P())
+    batch = _put(batch, batch_spec)
+    rng = _put(rng, P())
+    seed_args = tuple(_put(s, P(DATA_AXIS)) for s in seed_args)
+
+    state = prefill_fn(params, const, batch, *seed_args)
+    start = 0
+    while start < gcfg.length:
+        n = min(chunk, gcfg.length - start)
+        chunk_fn = _STREAM_SHARDED_FNS.get((base_key, "chunk", n))
+        if chunk_fn is None:
+            chunk_fn = _STREAM_SHARDED_FNS[(base_key, "chunk", n)] = (
+                build_chunk(n)
+            )
+        state, toks = chunk_fn(
+            params, const, batch, state, rng, jnp.int32(start), *seed_args
+        )
+        yield toks
+        start += n

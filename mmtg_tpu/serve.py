@@ -28,14 +28,21 @@ Design (TPU-first — see docs/PERF.md for the measurements behind each):
   NOT on which other requests share its batch — so the batcher groups
   requests freely without changing anyone's output, and a client can
   replay any response deterministically.
-* **Streaming lanes** (``POST /generate_stream`` → Server-Sent Events):
-  interactive clients get tokens sentence-by-sentence via
-  :func:`mmtg_tpu.decoding.generate_stream` (one compiled chunk program
-  re-dispatched per block, so time-to-first-sentence ≈ prefill + one
-  chunk). Because the per-row PRNG stream is keyed on the global step, a
-  streamed response is TOKEN-IDENTICAL to the batched one for the same
-  (sample, seed). Streams run outside the window batcher on a bounded
-  number of lanes (``max_streams``) and shed at the edge when saturated.
+* **Streaming rides the window batcher** (``POST /generate_stream`` →
+  Server-Sent Events): a streamed request is packed into an ordinary
+  batched window next to one-shot requests. Because the per-row PRNG
+  stream is keyed on the global step, a streamed response is
+  TOKEN-IDENTICAL to the batched one for the same (sample, seed) — so
+  nothing about the window changes except HOW it decodes: any window
+  containing a streamer runs the chunked scan
+  (:func:`mmtg_tpu.decoding.generate_stream`, or
+  :func:`~mmtg_tpu.decoding.generate_stream_sharded` on meshed services —
+  the decode state stays on-mesh between chunks) and the collector fans
+  each materialized block out to its stream subscribers sentence-by-
+  sentence while one-shot batch-mates get the assembled result at the
+  end. N concurrent streams therefore sustain batched-window throughput
+  (they ARE a batched window), time-to-first-sentence ≈ prefill + one
+  chunk, and overload sheds at the same queue edge as everything else.
 """
 
 from __future__ import annotations
@@ -131,6 +138,10 @@ class _Pending:
     seed: int
     future: Future
     t_submit: float = field(default_factory=time.monotonic)
+    # streaming subscribers: a queue the collector feeds decoded blocks
+    # ([n] int32 rows), then a ``None`` done-sentinel (or an exception).
+    # ``None`` here = an ordinary one-shot request.
+    blocks: Optional["queue.Queue"] = None
 
 
 class GenerationService:
@@ -165,7 +176,6 @@ class GenerationService:
         base_seed: int = 0,
         mesh=None,
         max_queue_depth: int = 4096,
-        max_streams: int = 1,
     ):
         if list(buckets) != sorted(set(int(b) for b in buckets)) or not buckets:
             raise ValueError(f"buckets must be ascending and unique: {buckets}")
@@ -230,13 +240,6 @@ class GenerationService:
         # then fails fast with the cause instead of queueing into a void
         self._engine_error: Optional[BaseException] = None
         self._lock = threading.Lock()
-        # streaming lanes: stream() runs OUTSIDE the window batcher (its
-        # chunk programs interleave with window dispatches on the device),
-        # so cap concurrent streams to keep them from starving the
-        # batched path; excess streams are shed at the edge like queue
-        # overflow
-        self.max_streams = int(max_streams)
-        self._stream_sem = threading.BoundedSemaphore(max(1, self.max_streams))
         self._stats = {
             "requests": 0,
             "batches": 0,
@@ -285,7 +288,12 @@ class GenerationService:
             except queue.Empty:
                 return
             if left is not None and left.future.set_running_or_notify_cancel():
-                left.future.set_exception(RuntimeError(msg))
+                err = RuntimeError(msg)
+                left.future.set_exception(err)
+                if left.blocks is not None:
+                    # stream consumers wait on their block queue, not the
+                    # future — surface the failure there too
+                    left.blocks.put(err)
 
     def __enter__(self):
         return self.start()
@@ -293,11 +301,14 @@ class GenerationService:
     def __exit__(self, *exc):
         self.stop()
 
-    def warmup(self, bucket: Optional[int] = None) -> None:
+    def warmup(self, bucket: Optional[int] = None,
+               streams: bool = True) -> None:
         """Compile ahead of traffic: run one synthetic batch per bucket
-        (or just ``bucket``). With the persistent compilation cache wired
-        in (every CLI calls ``enable_compilation_cache``) this is a cache
-        read after the first service start."""
+        (or just ``bucket``) through the one-shot AND (``streams=True``)
+        the chunked decode program a stream-carrying window uses. With
+        the persistent compilation cache wired in (every CLI calls
+        ``enable_compilation_cache``) this is a cache read after the
+        first service start."""
         sizes = self.buckets if bucket is None else (bucket,)
         sample = self._synthetic_sample()
         for b in sizes:
@@ -310,6 +321,10 @@ class GenerationService:
                 # the remote compile ride into the first real request
                 # (measured: a "4 s warmup" then a 68 s first request)
                 float(jnp.sum(toks[:1]))
+                if streams:
+                    for blk in self._decode_chunked(batch, seeds):
+                        pass
+                    float(jnp.sum(blk[:1]))
 
             try:
                 run()
@@ -323,13 +338,17 @@ class GenerationService:
 
     # ---- client API ------------------------------------------------------
 
-    def submit(self, sample: Dict[str, np.ndarray], seed: int) -> Future:
-        """Enqueue one sample; resolves to ``[1 + length]`` int32 tokens.
+    @staticmethod
+    def _norm_seed(seed: int) -> int:
+        # two's-complement into int32: the seed rides a [B] int32 array
+        # into fold_in, and a client-supplied 2**40 must not blow up the
+        # whole window in _pack
+        seed = int(seed) & 0xFFFFFFFF
+        return seed - 2**32 if seed >= 2**31 else seed
 
-        Raises :class:`ServiceOverloaded` when the queue is at
-        ``max_queue_depth`` (load is shed at the edge — HTTP 503 — rather
-        than growing an unbounded host backlog)."""
-        self._validate(sample)
+    def _enqueue(self, pending: _Pending) -> None:
+        """Liveness + depth checks, the actual put, and the enqueue/death
+        race sweep — shared by :meth:`submit` and :meth:`stream`."""
         if self._thread is None or self._stopping:
             raise RuntimeError("service not started or stopping")
         if self._engine_error is not None or not self._thread.is_alive():
@@ -343,15 +362,7 @@ class GenerationService:
             raise ServiceOverloaded(
                 f"request queue at max_queue_depth={self.max_queue_depth}"
             )
-        fut: Future = Future()
-        # two's-complement into int32: the seed rides a [B] int32 array
-        # into fold_in, and a client-supplied 2**40 must not blow up the
-        # whole window in _pack
-        seed = int(seed) & 0xFFFFFFFF
-        if seed >= 2**31:
-            seed -= 2**32
-        self._queue.put(_Pending({k: np.asarray(sample[k]) for k in SAMPLE_KEYS},
-                                 seed, fut))
+        self._queue.put(pending)
         if self._engine_error is not None or not self._thread.is_alive():
             # closes the enqueue/death race: if the engine died between
             # the liveness check above and our put, the crash path's
@@ -363,6 +374,19 @@ class GenerationService:
             )
         with self._lock:
             self._stats["requests"] += 1
+
+    def submit(self, sample: Dict[str, np.ndarray], seed: int) -> Future:
+        """Enqueue one sample; resolves to ``[1 + length]`` int32 tokens.
+
+        Raises :class:`ServiceOverloaded` when the queue is at
+        ``max_queue_depth`` (load is shed at the edge — HTTP 503 — rather
+        than growing an unbounded host backlog)."""
+        self._validate(sample)
+        fut: Future = Future()
+        self._enqueue(_Pending(
+            {k: np.asarray(sample[k]) for k in SAMPLE_KEYS},
+            self._norm_seed(seed), fut,
+        ))
         return fut
 
     def generate_sync(self, sample, seed: int, timeout: float = 600.0):
@@ -371,8 +395,7 @@ class GenerationService:
     def stream(self, sample: Dict[str, np.ndarray], seed: int,
                chunk: Optional[int] = None):
         """Stream one request's tokens as they decode — ``[n]`` int32
-        blocks (one 22-token lyric sentence per block by default), via
-        :func:`mmtg_tpu.decoding.generate_stream`.
+        blocks (one 22-token lyric sentence per block by default).
 
         **Bit-identical to the batched path**: the per-row PRNG stream
         depends only on ``(base_seed, seed, step)``, so
@@ -382,67 +405,51 @@ class GenerationService:
         reference has no streaming at all (its loop prints after the
         full 220-token sample, ``generate.py:97-145``).
 
-        Runs OUTSIDE the window batcher on one of ``max_streams`` lanes
-        (chunk programs interleave with window dispatches on the
-        device); when all lanes are busy the first ``next()`` raises
-        :class:`ServiceOverloaded` — shed at the edge, like queue
-        overflow. Single-mesh services only (the sharded path stays
-        one-shot). Lane acquisition, weight snapshot (hot-swap safe) and
-        stats happen lazily on first ``next()`` so an unconsumed
-        generator can never leak a lane; shape/seed validation is eager.
-        """
+        The request rides the SAME window batcher as :meth:`submit`: it
+        is packed into the next window next to one-shot batch-mates, the
+        window decodes through the chunked scan (on-mesh state between
+        chunks — :func:`~mmtg_tpu.decoding.generate_stream_sharded` on
+        meshed services), and the collector fans each decoded block out
+        to this generator as it materializes. N concurrent streams
+        therefore sustain batched-window throughput, and overload sheds
+        at the queue edge (:class:`ServiceOverloaded` from the first
+        ``next()``) exactly like ``submit``. Enqueueing happens lazily on
+        first ``next()`` — an unconsumed generator never occupies a
+        window row; shape/seed validation is eager.
+
+        ``chunk`` re-chunks delivery host-side (buffer/split of the
+        service-wide device cadence, one 22-token sentence per block), so
+        any granularity is available without extra compiled programs; the
+        device cadence itself — and so time-to-first-block for chunk <
+        22 — stays the sentence frame."""
         self._validate(sample)
         if self._thread is None or self._stopping:
             raise RuntimeError("service not started or stopping")
-        if self.mesh is not None:
-            raise ValueError(
-                "streaming runs single-mesh; use /generate on mesh services"
-            )
-        seed = int(seed) & 0xFFFFFFFF
-        if seed >= 2**31:
-            seed -= 2**32
+        seed = self._norm_seed(seed)
         sample = {k: np.asarray(sample[k]) for k in SAMPLE_KEYS}
+        want = (max(1, min(int(chunk), self.gcfg.length))
+                if chunk else self.dcfg.sent_frame_length)
 
-        def lane():
-            if not self._stream_sem.acquire(blocking=False):
-                with self._lock:
-                    self._stats["rejected"] += 1
-                raise ServiceOverloaded(
-                    f"all {self.max_streams} streaming lanes busy"
-                )
-            try:
-                # snapshot once: a /reload mid-stream must not mix weights
-                params, const = self.params, self.const
-                batch = {
-                    k: jnp.asarray(
-                        np.asarray(
-                            sample[k],
-                            np.float32 if k in _FLOAT_KEYS else np.int32,
-                        )[None]
-                    )
-                    for k in SAMPLE_KEYS
-                }
-                with self._lock:
-                    self._stats["streams"] += 1
-                from mmtg_tpu.decoding import generate_stream
+        def consume():
+            q: "queue.Queue" = queue.Queue()
+            self._enqueue(_Pending(sample, seed, Future(), blocks=q))
+            with self._lock:
+                self._stats["streams"] += 1
+            buf = np.zeros((0,), np.int32)
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                if item is None:
+                    break
+                buf = np.concatenate([buf, item])
+                while buf.size >= want:
+                    yield buf[:want]
+                    buf = buf[want:]
+            if buf.size:
+                yield buf
 
-                for toks in generate_stream(
-                    params, const, self.mcfg, self.dcfg, self.gcfg, batch,
-                    self._rng, row_seeds=jnp.asarray([seed], jnp.int32),
-                    chunk=chunk,
-                ):
-                    arr = np.asarray(toks)[0]
-                    # count per block, not on exhaustion: tokens DECODED
-                    # and handed off to the consumer (the final block may
-                    # be counted yet never reach a client that hangs up
-                    # mid-yield)
-                    with self._lock:
-                        self._stats["stream_tokens"] += int(arr.size)
-                    yield arr
-            finally:
-                self._stream_sem.release()
-
-        return lane()
+        return consume()
 
     def swap_params(self, new_params) -> None:
         """Hot-swap model weights with ZERO recompiles (identical
@@ -570,6 +577,29 @@ class GenerationService:
         return generate(self.params, self.const, self.mcfg, self.dcfg,
                         self.gcfg, batch, self._rng, row_seeds=seeds)
 
+    def _decode_chunked(self, batch, seeds):
+        """Chunked window decode for windows carrying stream subscribers:
+        returns the generator of ``[bucket, n]`` device blocks (one
+        sentence frame per block). Token-identical to :meth:`_decode` for
+        the same inputs — the per-step PRNG folds in the GLOBAL step
+        index, so chunking never changes a token (the serve streaming
+        contract). The params/const snapshot is the caller's read of
+        ``self.params`` — hot-swap safe per window, like ``_decode``."""
+        chunk = self.dcfg.sent_frame_length
+        if self.mesh is not None:
+            from mmtg_tpu.decoding import generate_stream_sharded
+
+            return generate_stream_sharded(
+                self.params, self.const, self.mcfg, self.dcfg, self.gcfg,
+                batch, self._rng, self.mesh, row_seeds=seeds, chunk=chunk,
+            )
+        from mmtg_tpu.decoding import generate_stream
+
+        return generate_stream(
+            self.params, self.const, self.mcfg, self.dcfg, self.gcfg,
+            batch, self._rng, row_seeds=seeds, chunk=chunk,
+        )
+
     def _loop(self) -> None:
         """Batcher thread body: the dispatch loop plus the crash contract.
 
@@ -640,7 +670,15 @@ class GenerationService:
             bucket = self._bucket_for(len(reqs))
             try:
                 batch, seeds = self._pack(reqs, bucket)
-                tokens = self._decode(batch, seeds)  # async on TPU
+                if any(r.blocks is not None for r in reqs):
+                    # a stream subscriber in the window → chunked decode.
+                    # Draining the generator here only DISPATCHES the
+                    # prefill + chunk programs (device execution is
+                    # async); the collector owns the blocking transfers
+                    # and fans blocks out as they materialize.
+                    tokens = list(self._decode_chunked(batch, seeds))
+                else:
+                    tokens = self._decode(batch, seeds)  # async on TPU
             except BaseException as e:
                 # Exception: one bad window — fail ITS requests, keep
                 # serving. BaseException (engine death — a poisoned
@@ -652,6 +690,8 @@ class GenerationService:
                     self._stats["errors"] += 1
                 for r in reqs:
                     r.future.set_exception(e)
+                    if r.blocks is not None:
+                        r.blocks.put(e)
                 if isinstance(e, Exception):
                     continue
                 raise
@@ -663,14 +703,54 @@ class GenerationService:
             if item is None:
                 return
             reqs, bucket, tokens = item
-            try:
-                tokens = np.asarray(tokens)  # blocks until decode done
-            except Exception as e:  # pragma: no cover - defensive
-                with self._lock:
-                    self._stats["errors"] += 1
-                for r in reqs:
-                    r.future.set_exception(e)
-                continue
+            if isinstance(tokens, list):
+                # chunked window (stream subscribers aboard): materialize
+                # block by block, fanning each out to its streams as it
+                # lands; one-shot batch-mates get the assembled tokens
+                # at the end
+                host_blocks = []
+                failed = None
+                for blk in tokens:
+                    try:
+                        arr = np.asarray(blk)  # blocks until chunk done
+                    except Exception as e:  # pragma: no cover - defensive
+                        failed = e
+                        break
+                    host_blocks.append(arr)
+                    with self._lock:
+                        self._stats["stream_tokens"] += arr.shape[1] * sum(
+                            r.blocks is not None for r in reqs
+                        )
+                    for i, r in enumerate(reqs):
+                        if r.blocks is not None:
+                            r.blocks.put(arr[i])
+                if failed is not None:
+                    with self._lock:
+                        self._stats["errors"] += 1
+                    for r in reqs:
+                        r.future.set_exception(failed)
+                        if r.blocks is not None:
+                            r.blocks.put(failed)
+                    continue
+                # reassemble the one-shot view: [START] + concat(blocks)
+                # == _decode's tokens (the streaming identity contract)
+                from mmtg_tpu.configs import SpecialTokens
+
+                full = np.concatenate(host_blocks, axis=1)
+                tokens = np.concatenate(
+                    [np.full((full.shape[0], 1), SpecialTokens().start_id,
+                             full.dtype), full],
+                    axis=1,
+                )
+            else:
+                try:
+                    tokens = np.asarray(tokens)  # blocks until decode done
+                except Exception as e:  # pragma: no cover - defensive
+                    with self._lock:
+                        self._stats["errors"] += 1
+                    for r in reqs:
+                        r.future.set_exception(e)
+                    continue
             now = time.monotonic()
             with self._lock:
                 self._stats["batches"] += 1
@@ -685,6 +765,8 @@ class GenerationService:
                 del self._latencies_ms[:-1000]
             for i, r in enumerate(reqs):
                 r.future.set_result(tokens[i])
+                if r.blocks is not None:
+                    r.blocks.put(None)  # done sentinel
 
 
 # ---- HTTP front -----------------------------------------------------------
@@ -831,12 +913,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(f"data: {json.dumps(done)}\n\n".encode("utf-8"))
             self.wfile.flush()
         except (BrokenPipeError, ConnectionResetError):
-            pass  # client hung up: stop decoding, lane released below
+            pass  # client hung up; the window decodes on for its batch-mates
         finally:
-            # ALWAYS close (no-op after exhaustion): any emit()-side error
-            # must release the lane now, not when the GC finds the
-            # suspended generator — with max_streams=1 a leaked lane
-            # 503s every stream until collection
+            # ALWAYS close (no-op after exhaustion): the suspended
+            # generator holds the request's block queue — close it now
+            # rather than when the GC finds it
             it.close()
 
     def do_POST(self):  # noqa: N802
@@ -936,10 +1017,11 @@ def build_arg_parser():
                    help="skip compile-ahead of every bucket at startup")
     p.add_argument("--max_queue_depth", default=4096, type=int,
                    help="shed load (HTTP 503) past this many queued requests")
-    p.add_argument("--max_streams", default=1, type=int,
-                   help="concurrent /generate_stream lanes (each runs "
-                        "outside the window batcher; excess streams shed "
-                        "with 503)")
+    p.add_argument("--max_streams", default=None, type=int,
+                   help="DEPRECATED no-op (kept for CLI compat): streams "
+                        "ride the window batcher now — capacity and "
+                        "shedding are governed by --max_queue_depth like "
+                        "every other request")
     return p
 
 
@@ -992,6 +1074,14 @@ def build_service(args, mcfg: ModelConfig | None = None,
     params = load_params(args.model_path, mcfg)
     table = jnp.asarray(load_token_embedding_table(
         args.token_emb_path, len(tokenizer), dcfg.wenlan_emb_size))
+    if getattr(args, "max_streams", None) is not None:
+        import warnings
+
+        warnings.warn(
+            "--max_streams is deprecated and ignored: streams ride the "
+            "window batcher (capacity = --max_queue_depth)",
+            DeprecationWarning, stacklevel=2,
+        )
     service = GenerationService(
         params, {"wenlan_table": table}, mcfg, dcfg, gcfg,
         buckets=buckets,
@@ -999,7 +1089,6 @@ def build_service(args, mcfg: ModelConfig | None = None,
         base_seed=args.seed,
         mesh=mesh,
         max_queue_depth=args.max_queue_depth,
-        max_streams=args.max_streams,
     ).start()
     return service, tokenizer
 

@@ -458,59 +458,117 @@ def test_stream_matches_batched(serve_setup):
     assert st["streams"] == 1 and st["stream_tokens"] == gcfg.length
 
 
-def test_stream_lane_shed_and_release(serve_setup):
-    """All lanes busy → the SECOND stream's first next() sheds with
-    ServiceOverloaded (like queue overflow); finishing or closing a
-    stream releases its lane. An unconsumed generator never holds one."""
+def test_stream_shares_window_with_batched(serve_setup):
+    """Streams are first-class window rows: concurrent streams and
+    one-shot submits pack into ONE batched window (batches == 1), every
+    participant gets its exact direct-engine tokens, and the streams
+    deliver real multi-block progress — no dedicated batch-1 lanes."""
+    from mmtg_tpu.configs import SpecialTokens
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(4,), max_wait_ms=3000.0, base_seed=0)
+    start_id = SpecialTokens().start_id
+    stream_out = {}
+
+    def consume(idx, seed):
+        stream_out[idx] = list(svc.stream(samples[idx], seed))
+
+    with svc:
+        threads = [threading.Thread(target=consume, args=(i, 20 + i))
+                   for i in (0, 1)]
+        for t in threads:
+            t.start()
+        time.sleep(0.1)  # let the streams enqueue into the open window
+        fut = svc.submit(samples[2], seed=22)
+        batched = np.asarray(fut.result(timeout=600))
+        for t in threads:
+            t.join(timeout=600)
+    direct = _direct(params, const, mcfg, dcfg, gcfg,
+                     samples[:3], [20, 21, 22])
+    np.testing.assert_array_equal(batched, direct[2])
+    for i in (0, 1):
+        assert len(stream_out[i]) > 1  # actually streamed in blocks
+        streamed = np.concatenate([[start_id], np.concatenate(stream_out[i])])
+        np.testing.assert_array_equal(streamed, direct[i])
+    st = svc.stats()
+    assert st["batches"] == 1  # streams and the submit shared one window
+    assert st["streams"] == 2
+    assert st["stream_tokens"] == 2 * gcfg.length
+    assert st["served"] == 3
+
+
+def test_stream_overload_sheds_at_queue_edge(serve_setup):
+    """Streams shed at the SAME queue edge as one-shot requests
+    (ServiceOverloaded from the first next()); an unconsumed generator
+    never enqueues; bad shapes are rejected eagerly."""
     from mmtg_tpu.serve import ServiceOverloaded
 
     params, const, mcfg, dcfg, gcfg, samples = serve_setup
-    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
-                            buckets=(2,), max_wait_ms=0.0, max_streams=1)
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg, buckets=(2,),
+                            max_wait_ms=0.0, base_seed=0, max_queue_depth=0)
     with svc:
         it = svc.stream(samples[0], 1)
-        next(it)  # lane acquired lazily here
-        it2 = svc.stream(samples[0], 2)
-        with pytest.raises(ServiceOverloaded):
-            next(it2)
-        list(it)  # drain to completion -> lane released
-        it3 = svc.stream(samples[0], 3)
-        assert next(it3).size > 0
-        it3.close()  # client hang-up path also releases
-        it4 = svc.stream(samples[0], 4)
-        assert next(it4).size > 0
-        it4.close()
-        # bad shapes are rejected EAGERLY, before any lane is touched
+        assert svc.stats()["requests"] == 0  # lazy: nothing enqueued yet
+        with pytest.raises(ServiceOverloaded, match="max_queue_depth"):
+            next(it)
+        # bad shapes are rejected EAGERLY, before anything is enqueued
         with pytest.raises(ValueError, match="shape"):
             svc.stream({**samples[0], "topic_emb": np.zeros(3)}, 0)
-    assert svc.stats()["rejected"] >= 1
+    assert svc.stats()["rejected"] == 1
 
 
-def test_stream_partial_tokens_counted_on_hangup(serve_setup):
-    """stream_tokens accounts per delivered block, not on exhaustion: a
-    client hang-up (generator close) keeps the tokens already delivered
-    in /metrics instead of losing the whole stream's count."""
+def test_stream_hangup_window_completes(serve_setup):
+    """A client hang-up (generator close) never disturbs the shared
+    window: batch-mates finish, the service keeps serving, and
+    stream_tokens counts the tokens decoded-and-handed-off for the
+    stream row (its window keeps decoding for the others)."""
     params, const, mcfg, dcfg, gcfg, samples = serve_setup
     svc = GenerationService(params, const, mcfg, dcfg, gcfg,
-                            buckets=(2,), max_wait_ms=0.0)
+                            buckets=(2,), max_wait_ms=200.0)
     with svc:
         it = svc.stream(samples[0], 1)
+        fut = svc.submit(samples[1], seed=2)
         first = next(it)
         it.close()  # hang up after one sentence
-        st = svc.stats()
-        assert st["stream_tokens"] == first.size
-        assert 0 < st["stream_tokens"] < gcfg.length
+        mate = np.asarray(fut.result(timeout=600))  # batch-mate unharmed
+        direct = _direct(params, const, mcfg, dcfg, gcfg, [samples[1]], [2])
+        np.testing.assert_array_equal(mate, direct[0])
+        assert first.size == dcfg.sent_frame_length
+        # the window completed → all its stream-row tokens were decoded
+        # and handed off (the consumer just never read past block 1)
+        deadline = time.monotonic() + 60
+        while (svc.stats()["stream_tokens"] < gcfg.length
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        assert svc.stats()["stream_tokens"] == gcfg.length
+        # service healthy after the hang-up
+        np.testing.assert_array_equal(
+            np.asarray(svc.generate_sync(samples[1], 2)), direct[0]
+        )
 
 
-def test_stream_rejected_on_mesh_service(serve_setup):
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2)])
+def test_stream_on_mesh_matches_single_device(serve_setup, mesh_shape):
+    """Streaming is a first-class mode on MESHED services: a streamed
+    request on a DP / DP×TP mesh delivers block-by-block and its
+    concatenation equals the single-device direct decode token for token
+    (the decode state stays on-mesh between chunks)."""
+    from mmtg_tpu.configs import SpecialTokens
     from mmtg_tpu.parallel.mesh import make_mesh
 
     params, const, mcfg, dcfg, gcfg, samples = serve_setup
-    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
-                            buckets=(8,), mesh=make_mesh((4, 1)))
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg, buckets=(4,),
+                            max_wait_ms=0.0, base_seed=0,
+                            mesh=make_mesh(mesh_shape))
     with svc:
-        with pytest.raises(ValueError, match="single-mesh"):
-            svc.stream(samples[0], 0)
+        blocks = list(svc.stream(samples[0], seed=31))
+    assert len(blocks) > 1
+    streamed = np.concatenate(
+        [[SpecialTokens().start_id], np.concatenate(blocks)]
+    )
+    direct = _direct(params, const, mcfg, dcfg, gcfg, [samples[0]], [31])
+    np.testing.assert_array_equal(streamed, direct[0])
 
 
 def test_http_stream_endpoint(serve_setup, tokenizer):

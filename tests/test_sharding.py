@@ -215,6 +215,50 @@ def test_sharded_generation_on_mesh(setup):
     assert len({tuple(r) for r in toks.tolist()}) > 1
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 1), (2, 2), (2, 4)])
+def test_stream_sharded_matches_oneshot_and_single_device(setup, mesh_shape):
+    """generate_stream_sharded is bit-identical to generate_sharded on the
+    same mesh AND (with row_seeds) to the single-device generate — the
+    decode state round-trips the chunk boundary sharded without changing
+    a token, on DP, balanced DP×TP, and TP-heavy meshes."""
+    from mmtg_tpu.configs import GenerateConfig
+    from mmtg_tpu.decoding import (
+        generate,
+        generate_sharded,
+        generate_stream_sharded,
+    )
+
+    mcfg, dcfg, batch, const = setup
+    gen_batch = {
+        k: v
+        for k, v in batch.items()
+        if k in ("topic_ids", "tpw_attention_mask", "tpw_type_ids",
+                 "topic_emb", "img_embs", "r_embs")
+    }
+    params = init_mmtg_params(jax.random.PRNGKey(0), mcfg)
+    gcfg = GenerateConfig(length=46, top_k=5, attn_impl="xla")
+    key = jax.random.PRNGKey(3)
+    seeds = jnp.arange(8, dtype=jnp.int32) * 5 + 2
+    single = np.asarray(
+        generate(params, const, mcfg, dcfg, gcfg, gen_batch, key,
+                 row_seeds=seeds)
+    )
+    mesh = make_mesh(mesh_shape)
+    with mesh:
+        oneshot = np.asarray(generate_sharded(
+            params, const, mcfg, dcfg, gcfg, gen_batch, key, mesh,
+            row_seeds=seeds,
+        ))
+        blocks = [np.asarray(t) for t in generate_stream_sharded(
+            params, const, mcfg, dcfg, gcfg, gen_batch, key, mesh,
+            row_seeds=seeds,
+        )]
+    assert len(blocks) > 1  # streamed in sentence-frame chunks
+    streamed = np.concatenate(blocks, axis=1)
+    np.testing.assert_array_equal(streamed, oneshot[:, 1:])
+    np.testing.assert_array_equal(streamed, single[:, 1:])
+
+
 def test_dp_gradients_match_single_device(setup):
     """The DP-sharded loss gradient equals the single-device gradient at
     f32 tolerance: sharding must change WHERE the math runs, never what

@@ -14,11 +14,19 @@ measures what a streaming client actually feels at the service level
 * token identity stream == batched for every measured (sample, seed)
   (the serving contract, serve.py `stream` docstring).
 
+With ``--concurrent N`` it additionally measures N SIMULTANEOUS streaming
+clients against one service — since r05 streams ride the window batcher
+(they pack into shared batched windows, serve.py module docstring), so
+this mode certifies that concurrent streams sustain ~batched-window
+service throughput instead of the old per-lane batch-1 rate, while each
+client still gets block-by-block delivery.
+
 Every block arrives as a host numpy array (a device→host transfer), so
 per-block timestamps are real data-arrival times, not dispatch returns
 (CLAUDE.md timing rule). Run on an idle host:
 
     python tools/bench_stream.py [--streams 10] [--chunk 22]
+    python tools/bench_stream.py --concurrent 64 --buckets 8,64
 
 Prints one JSON line (same convention as bench_serve.py / bench_latency.py).
 """
@@ -41,6 +49,46 @@ def _p50(xs):
     return float(np.percentile(np.asarray(xs, np.float64), 50))
 
 
+def _bench_concurrent(svc, payloads, n, length, rounds=3):
+    """N simultaneous stream() clients per round; returns aggregate tok/s
+    over the round wall (first stream start → last block on host) plus
+    per-client TTFS/total percentiles, p50 over rounds."""
+    import threading
+
+    per_round = []
+    for r in range(rounds):
+        ttfs = [None] * n
+        totals = [None] * n
+        counts = [0] * n
+
+        def client(i):
+            t0 = time.perf_counter()
+            for blk in svc.stream(payloads[i % len(payloads)],
+                                  seed=10_000 * (r + 1) + i):
+                if ttfs[i] is None:
+                    ttfs[i] = time.perf_counter() - t0
+                counts[i] += blk.size
+            totals[i] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert all(c == length for c in counts), counts
+        per_round.append({
+            "tok_s": n * length / wall,
+            "wall_s": wall,
+            "ttfs_ms_p50": _p50([x * 1e3 for x in ttfs]),
+            "total_ms_p50": _p50([x * 1e3 for x in totals]),
+        })
+    per_round.sort(key=lambda d: d["tok_s"])
+    return per_round[len(per_round) // 2], per_round
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=10,
@@ -50,6 +98,12 @@ def main() -> None:
     ap.add_argument("--buckets", default="8", type=str,
                     help="service buckets (sized bucket 8 = latency tier; "
                          "auto weights/cache pin from the largest)")
+    ap.add_argument("--concurrent", type=int, default=0,
+                    help="measure N simultaneous streaming clients "
+                         "(window-batched) instead of the sequential "
+                         "TTFS loop; size --buckets to N")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="concurrent-mode rounds (reports the p50 round)")
     args = ap.parse_args()
 
     from mmtg_tpu.utils.platform import enable_compilation_cache
@@ -65,7 +119,7 @@ def main() -> None:
                             buckets=buckets).start()
     try:
         payloads = [make_payload(i, dcfg, mcfg)
-                    for i in range(args.streams + 1)]
+                    for i in range(max(args.streams, args.concurrent) + 1)]
 
         print("# warmup stream (compiles prefill + chunk programs)...",
               flush=True)
@@ -73,6 +127,36 @@ def main() -> None:
             pass
         # one-shot warmup too (separate compiled program: full-length scan)
         svc.generate_sync(payloads[0], seed=0)
+        if args.concurrent:
+            svc.warmup()  # every bucket, both program kinds
+            mid, rounds = _bench_concurrent(
+                svc, payloads, args.concurrent, gcfg.length, args.rounds
+            )
+            st = svc.stats()
+            out = {
+                "metric": f"concurrent streaming throughput "
+                          f"({args.concurrent} clients, window-batched)",
+                "value": round(mid["tok_s"], 1),
+                "unit": "tok/s",
+                "vs_baseline": None,
+                "detail": {
+                    "concurrent": args.concurrent,
+                    "rounds": [
+                        {k: round(v, 1) for k, v in r.items()}
+                        for r in rounds
+                    ],
+                    "ttfs_ms_p50": round(mid["ttfs_ms_p50"], 1),
+                    "stream_total_ms_p50": round(mid["total_ms_p50"], 1),
+                    "mean_batch": round(st["mean_batch"], 1),
+                    "windows": st["batches"],
+                    "buckets": list(buckets),
+                    "gcfg": {"weight_dtype": svc.gcfg.weight_dtype,
+                             "cache_dtype": svc.gcfg.cache_dtype,
+                             "length": gcfg.length},
+                },
+            }
+            print(json.dumps(out), flush=True)
+            return
 
         ttfs, gaps, totals, oneshot = [], [], [], []
         for i in range(1, args.streams + 1):
