@@ -34,6 +34,11 @@ def main() -> None:
                          "they fit (~1% faster, b256@13k vocab) and the "
                          "chunked LM-head loss when they don't (b512, "
                          "English vocab)")
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["auto", "pallas", "pallas_packed", "xla"],
+                    help="train attention kernel: auto → pallas_packed "
+                         "(unpadded slab) on TPU; 'pallas' keeps the r02 "
+                         "padded-slab variant for A/B")
     ap.add_argument("--round", type=int, default=0,
                     help="also write BENCH_TRAIN_r{N}.json")
     ap.add_argument("--steps-per-block", type=int, default=5,
@@ -63,7 +68,8 @@ def main() -> None:
     )
 
     mcfg, dcfg = ModelConfig(), DataConfig()
-    tcfg = TrainConfig(alpha=0.2, dtype=args.dtype, loss_impl=args.loss_impl)
+    tcfg = TrainConfig(alpha=0.2, dtype=args.dtype, loss_impl=args.loss_impl,
+                       attn_impl=args.attn_impl)
     rng = np.random.default_rng(0)
     B = args.batch
     P, T, E = dcfg.topic_prompt_length, dcfg.target_length, dcfg.wenlan_emb_size
@@ -147,6 +153,7 @@ def main() -> None:
             "runs": args.runs,
             "spread_pct": round(spread, 1),
             "remat": "full-block",
+            "attn_impl": args.attn_impl,
             "loss_impl": _resolve_loss_impl(
                 tcfg.loss_impl, batch, mcfg.gpt2.vocab_size
             ),

@@ -166,7 +166,10 @@ class TrainConfig:
     remat: bool = True  # rematerialize GPT-2 blocks in backward
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
     # "auto": fused Pallas train-attention kernel on TPU backends
-    # (ops/train_attention.py), XLA masked-softmax elsewhere.
+    # (ops/train_attention.py — "pallas_packed", the unpadded
+    # standard-slab variant, when head_dim % 64 == 0; "pallas" is the
+    # r02 padded-slab variant kept for A/B), XLA masked-softmax
+    # elsewhere.
     attn_impl: str = "auto"
     # Selective remat menu (models/gpt2.py:_REMAT_POLICIES): "full"
     # re-runs the whole block in the backward; "save_qkv_ctx" /

@@ -336,11 +336,18 @@ def gpt2_forward(
         h = _dropout(h, cfg.embd_pdrop, k_embd)
 
     if attn_impl == "auto":
+        # "pallas_packed" (standard unpadded slab) is the TPU default:
+        # identical in-kernel cost to the padded "pallas" variant but the
+        # qkv/proj matmuls around it run at their true (halved) size —
+        # ~75 ms/step at b256 (tools/trace_train.py round-5 attribution).
         attn_impl = (
-            "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+            "pallas_packed" if jax.default_backend() in ("tpu", "axon")
+            else "xla"
         )
     if return_kv or cfg.head_dim > 128:
         attn_impl = "xla"
+    if attn_impl == "pallas_packed" and cfg.head_dim % 64:
+        attn_impl = "pallas"  # packed path needs 64-lane-sliceable heads
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, h.dtype))
     # local head count from the (possibly TP-sharded) QKV shape
@@ -348,10 +355,15 @@ def gpt2_forward(
 
     bias = key_bias = None
     T_real = T
-    if attn_impl == "pallas":
+    if attn_impl in ("pallas", "pallas_packed"):
         # Sequence padded once to a 128 multiple for the whole stack;
         # padded keys get -inf bias, padded query rows are sliced off.
-        from mmtg_tpu.ops.train_attention import mha_train, pad_proj_weights, pad_qkv_weights
+        from mmtg_tpu.ops.train_attention import (
+            mha_train,
+            mha_train_packed,
+            pad_proj_weights,
+            pad_qkv_weights,
+        )
 
         Tp = ((T + 127) // 128) * 128
         if Tp != T:
@@ -391,7 +403,25 @@ def gpt2_forward(
                 layer_rng = jax.random.fold_in(rng, layer_idx)
                 k_attn, k_resid1, k_resid2 = jax.random.split(layer_rng, 3)
             a = _layer_norm(h, lp["ln1_g"], lp["ln1_b"], cfg.layer_norm_epsilon)
-            if attn_impl == "pallas":
+            if attn_impl == "pallas_packed":
+                # Standard c_attn slab, no head padding: the projection
+                # emits [B, Tp, 3·H·hd] directly and the kernel slices
+                # heads at static 64-lane offsets on-chip.
+                qkv = checkpoint_name(a @ lp["attn_w"], "qkv")
+                rate = cfg.attn_pdrop if rng is not None else 0.0
+                seed = (
+                    jax.random.randint(k_attn, (1,), 0, 2**31 - 1, jnp.int32)
+                    if rng is not None
+                    else jnp.zeros((1,), jnp.int32)
+                )
+                ctx = mha_train_packed(
+                    qkv, lp["attn_b"], key_bias, seed, n_head, rate,
+                    1.0 / math.sqrt(cfg.head_dim),
+                )
+                ctx = checkpoint_name(ctx, "attn_ctx")
+                attn_out = ctx @ lp["attn_proj_w"]
+                k = v = None
+            elif attn_impl == "pallas":
                 wq, bq = pad_qkv_weights(
                     lp["attn_w"], lp["attn_b"], n_head, cfg.head_dim
                 )

@@ -147,7 +147,9 @@ def _bwd_kernel(seed_ref, qkv_ref, qb_ref, bias_ref, do_ref,
     else:
         pd = p
     do = do_ref[...]
-    dt = v.dtype
+    # dqkv's dtype, NOT v's: an f32 projection bias promotes v to f32
+    # even when the slab (and the output ref) are bf16
+    dt = dqkv_ref.dtype
     # dv[b, j, d] = sum_i pd[b, i, j] * do[b, i, d]
     dv = jax.lax.dot_general(
         pd.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
@@ -327,6 +329,244 @@ def _mha_bwd(n_head, dropout_rate, scale, interpret, res, g):
 
 
 mha_train.defvjp(_mha_fwd, _mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed (unpadded) variant — standard c_attn slab, no head-dim padding
+# ---------------------------------------------------------------------------
+#
+# The padded slab above costs 2x FLOPs on every matmul that touches it:
+# the QKV projection runs [D, H·384] instead of [D, 3·H·hd] (fwd + remat
+# recompute + dW + dX all doubled) and the output projection consumes a
+# [H·128, D] context instead of [H·hd, D]. Round-5 trace attribution
+# (tools/trace_train.py, b256): qkv fwd 30.4 ms at its PADDED floor of
+# ~31 — i.e. at 2x the real work's floor of ~15.5. The packed kernel
+# removes the padding entirely: q|k|v arrive in the STANDARD GPT-2
+# c_attn order ``[B, T, 3·H·hd]`` (q all heads | k all heads | v all
+# heads — exactly what ``a @ attn_w`` emits, no weight munging), the
+# grid runs over batch blocks only, and an unrolled in-kernel head loop
+# takes static 64-lane slices per head (Mosaic accepts static lane
+# slices of 16/32/64 within a 128 block — CLAUDE.md rule 6; only
+# DYNAMIC lane slices must be 128-aligned). The attention dots run with
+# 64-wide contraction/output dims — the same MXU cycles as the padded
+# 128 dims (half-occupancy on a 128x128 array), so in-kernel time is
+# unchanged while every projection around the kernel halves.
+
+
+def _head_slices(qkv_ref, qb_ref, h: int, n_head: int, hd: int):
+    """Static per-head q/k/v 64-lane slices from the standard slab."""
+    H = n_head * hd
+    q = qkv_ref[:, :, h * hd:(h + 1) * hd] + qb_ref[0, h * hd:(h + 1) * hd]
+    k = (qkv_ref[:, :, H + h * hd:H + (h + 1) * hd]
+         + qb_ref[0, H + h * hd:H + (h + 1) * hd])
+    v = (qkv_ref[:, :, 2 * H + h * hd:2 * H + (h + 1) * hd]
+         + qb_ref[0, 2 * H + h * hd:2 * H + (h + 1) * hd])
+    return q, k, v
+
+
+def _fwd_kernel_packed(seed_ref, qkv_ref, qb_ref, bias_ref, o_ref,
+                       *, scale: float, rate: float, n_head: int, hd: int):
+    for h in range(n_head):
+        q, k, v = _head_slices(qkv_ref, qb_ref, h, n_head, hd)
+        p = _probs(q, k, bias_ref, scale)
+        if rate > 0.0:
+            keep = _dropout_keep_at(seed_ref, h, n_head, p.shape, rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o_ref[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _dropout_keep_at(seed_ref, h: int, n_head: int, shape, rate: float):
+    """Per-(program, head) keep mask; fwd and bwd reseed identically."""
+    idx = pl.program_id(0) * n_head + h
+    thr = jnp.uint32(min(int(round(rate * 2.0**32)), 2**32 - 1))
+    if INTERPRET:
+        key = jax.random.fold_in(
+            jax.random.key(seed_ref[0].astype(jnp.uint32)), idx
+        )
+        bits = jax.random.bits(key, shape, jnp.uint32)
+        return bits >= thr
+    pltpu.prng_seed(seed_ref[0], idx)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= thr
+
+
+def _bwd_kernel_packed(seed_ref, qkv_ref, qb_ref, bias_ref, do_ref,
+                       dqkv_ref, dqb_ref, *, scale: float, rate: float,
+                       n_head: int, hd: int):
+    H = n_head * hd
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dqb_ref[...] = jnp.zeros_like(dqb_ref)
+
+    for h in range(n_head):
+        q, k, v = _head_slices(qkv_ref, qb_ref, h, n_head, hd)
+        p = _probs(q, k, bias_ref, scale)  # recomputed, f32
+        if rate > 0.0:
+            keep = _dropout_keep_at(seed_ref, h, n_head, p.shape, rate)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        do = do_ref[:, :, h * hd:(h + 1) * hd]
+        # dqkv's dtype, NOT v's: the f32 bias row promotes v to f32 even
+        # when the slab (and the output ref) are bf16
+        dt = dqkv_ref.dtype
+        dv = jax.lax.dot_general(
+            pd.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, 2 * H + h * hd:2 * H + (h + 1) * hd] = dv.astype(dt)
+        dpd = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+        ds = (ds * scale).astype(dt)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dt)
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, H + h * hd:H + (h + 1) * hd] = dk.astype(dt)
+        # bias grad partials accumulated in VMEM across the batch grid
+        acc = dqb_ref[0, :]
+        dqb_ref[0, h * hd:(h + 1) * hd] = (
+            acc[h * hd:(h + 1) * hd] + jnp.sum(dq, axis=(0, 1))
+        )
+        dqb_ref[0, H + h * hd:H + (h + 1) * hd] = (
+            acc[H + h * hd:H + (h + 1) * hd] + jnp.sum(dk, axis=(0, 1))
+        )
+        dqb_ref[0, 2 * H + h * hd:2 * H + (h + 1) * hd] = (
+            acc[2 * H + h * hd:2 * H + (h + 1) * hd] + jnp.sum(dv, axis=(0, 1))
+        )
+
+
+def _batch_block_packed(B: int) -> int:
+    """Rows per program. The whole [bB, T, 3·H·hd] slab + [bB, T, T] f32
+    score scratch must fit VMEM; 8 rows keeps the bwd under ~70 MB at
+    T=256, H·hd=768."""
+    bB = 8
+    while B % bB:
+        bB //= 2
+    return bB
+
+
+def _specs_packed(T: int, bB: int, S: int, H: int):
+    slab_block = pl.BlockSpec(
+        (bB, T, S), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    ctx_block = pl.BlockSpec(
+        (bB, T, H), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_block = pl.BlockSpec(
+        (bB, 1, T), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    qb_block = pl.BlockSpec(
+        (8, S), lambda b, s: (0, 0), memory_space=pltpu.VMEM
+    )
+    return slab_block, ctx_block, bias_block, qb_block
+
+
+def _fwd_call_packed(qkv, qkv_bias, bias, seed, n_head, rate, scale,
+                     interpret):
+    B, T, S = qkv.shape
+    hd = S // (3 * n_head)
+    bB = _batch_block_packed(B)
+    slab_block, ctx_block, bias_block, qb_block = _specs_packed(
+        T, bB, S, n_head * hd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bB,),
+        in_specs=[slab_block, qb_block, bias_block],
+        out_specs=ctx_block,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale, rate=rate,
+                          n_head=n_head, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, n_head * hd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or INTERPRET,
+    )(seed, qkv, _pad8(qkv_bias), bias[:, None, :])
+
+
+def _bwd_call_packed(qkv, qkv_bias, bias, seed, do, n_head, rate, scale,
+                     interpret):
+    B, T, S = qkv.shape
+    hd = S // (3 * n_head)
+    bB = _batch_block_packed(B)
+    slab_block, ctx_block, bias_block, qb_block = _specs_packed(
+        T, bB, S, n_head * hd)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bB,),
+        in_specs=[slab_block, qb_block, bias_block, ctx_block],
+        out_specs=(slab_block, qb_block),
+    )
+    dqkv, dqb8 = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale, rate=rate,
+                          n_head=n_head, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, S), qkv.dtype),
+            jax.ShapeDtypeStruct((8, S), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or INTERPRET,
+    )(seed, qkv, _pad8(qkv_bias), bias[:, None, :], do)
+    return dqkv, dqb8[0].astype(qkv_bias.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def mha_train_packed(qkv, qkv_bias, bias, seed, n_head, dropout_rate=0.0,
+                     scale=1.0, interpret=False):
+    """Fused causal multi-head attention over a STANDARD-order qkv slab.
+
+    Same semantics/contract as :func:`mha_train` (causal + additive key
+    bias + f32 softmax + on-core dropout; ``bias`` is non-differentiable
+    data; the projection bias gradient comes from in-kernel partial
+    sums) — but the slab is the plain ``a @ attn_w + 0`` layout
+    ``[B, T, 3·H·hd]`` (q all heads | k | v) with NO per-head padding,
+    and the context comes back as ``[B, T, H·hd]``. Every matmul feeding
+    or consuming the kernel therefore runs at its true size: at b256
+    this halves qkv fwd/remat/dW/dX and the output-projection family
+    (~75 ms/step of padding FLOPs — tools/trace_train.py round-5 table).
+    T must still be a multiple of 128.
+    """
+    return _fwd_call_packed(qkv, qkv_bias, bias, seed, n_head,
+                            dropout_rate, scale, interpret)
+
+
+def _mha_packed_fwd(qkv, qkv_bias, bias, seed, n_head, dropout_rate, scale,
+                    interpret):
+    out = _fwd_call_packed(qkv, qkv_bias, bias, seed, n_head, dropout_rate,
+                           scale, interpret)
+    return out, (qkv, qkv_bias, bias, seed)
+
+
+def _mha_packed_bwd(n_head, dropout_rate, scale, interpret, res, g):
+    qkv, qkv_bias, bias, seed = res
+    dqkv, dqb = _bwd_call_packed(qkv, qkv_bias, bias, seed, g, n_head,
+                                 dropout_rate, scale, interpret)
+    return dqkv, dqb, jnp.zeros_like(bias), None
+
+
+mha_train_packed.defvjp(_mha_packed_fwd, _mha_packed_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,144 @@ def test_gpt2_forward_pallas_matches_xla():
 
 
 # ---------------------------------------------------------------------------
+# packed (unpadded, standard-order slab) variant
+# ---------------------------------------------------------------------------
+
+
+def _to_packed_slab(q, k, v):
+    """[B,H,T,hd] ×3 → [B,T,3·H·hd] standard c_attn order (q|k|v)."""
+    B, H, T, hd = q.shape
+    merge = lambda t: t.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+    return jnp.asarray(np.concatenate([merge(q), merge(k), merge(v)], -1))
+
+
+@pytest.mark.parametrize("B,H,T,hd", [(2, 3, 128, 64), (4, 2, 256, 64)])
+def test_packed_forward_matches_oracle(B, H, T, hd):
+    rng = np.random.default_rng(0)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 9:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    seed = jnp.zeros((1,), jnp.int32)
+    zb = jnp.zeros((3 * H * hd,), jnp.float32)
+    out = ta.mha_train_packed(
+        _to_packed_slab(q, k, v), zb, bias, seed, H, 0.0, float(scale))
+    out_h = np.asarray(out).reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    ref = np.asarray(_oracle(*(jnp.asarray(t) for t in (q, k, v)),
+                             jnp.asarray(mask), scale))
+    np.testing.assert_allclose(out_h, ref, atol=2e-6)
+
+
+def test_packed_backward_matches_oracle():
+    B, H, T, hd = 2, 3, 128, 64
+    rng = np.random.default_rng(1)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 5:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    seed = jnp.zeros((1,), jnp.int32)
+    slab = _to_packed_slab(q, k, v)
+    co_h = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    co = jnp.asarray(co_h.transpose(0, 2, 1, 3).reshape(B, T, H * hd))
+    zb = jnp.zeros((3 * H * hd,), jnp.float32)
+
+    g, dzb = jax.grad(
+        lambda s, b: jnp.sum(
+            ta.mha_train_packed(s, b, bias, seed, H, 0.0, float(scale)) * co),
+        argnums=(0, 1),
+    )(slab, zb)
+    gr = jax.grad(
+        lambda q, k, v: jnp.sum(_oracle(q, k, v, jnp.asarray(mask), scale)
+                                * jnp.asarray(co_h)),
+        argnums=(0, 1, 2),
+    )(*(jnp.asarray(t) for t in (q, k, v)))
+    g3 = np.asarray(g).reshape(B, T, 3, H, hd)
+    for j in range(3):
+        np.testing.assert_allclose(
+            g3[:, :, j].transpose(0, 2, 1, 3), np.asarray(gr[j]), atol=2e-6)
+    # in-kernel partial-sum bias grad == colsum(dqkv)
+    np.testing.assert_allclose(
+        np.asarray(dzb), np.asarray(g).sum(axis=(0, 1)), atol=1e-4)
+
+
+def test_packed_matches_padded_kernel():
+    """Same math, two slab layouts: packed output == padded output."""
+    B, H, T, hd = 2, 2, 128, 64
+    rng = np.random.default_rng(5)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 3:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    seed = jnp.zeros((1,), jnp.int32)
+    pad_out = ta.mha_train(
+        _to_slab(q, k, v, hd), jnp.zeros((H * ta.SLAB,), jnp.float32),
+        bias, seed, H, 0.0, float(scale))
+    pk_out = ta.mha_train_packed(
+        _to_packed_slab(q, k, v), jnp.zeros((3 * H * hd,), jnp.float32),
+        bias, seed, H, 0.0, float(scale))
+    pad_h = np.asarray(pad_out).reshape(B, T, H, ta.LANES)[..., :hd]
+    pk_h = np.asarray(pk_out).reshape(B, T, H, hd)
+    np.testing.assert_allclose(pk_h, pad_h, atol=2e-6)
+
+
+def test_gpt2_forward_pallas_packed_matches_xla():
+    cfg = GPT2Config(vocab_size=97, n_positions=64, n_embd=128, n_layer=2,
+                     n_head=2)
+    params = init_gpt2_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 37
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.n_embd)) * 0.1
+    pos = jnp.arange(T)
+    mask = jnp.ones((B, T), jnp.int32).at[1, 30:].set(0)
+    logits_x, _ = gpt2_forward(params, cfg, emb, pos, attention_mask=mask,
+                               attn_impl="xla")
+    logits_p, _ = gpt2_forward(params, cfg, emb, pos, attention_mask=mask,
+                               attn_impl="pallas_packed")
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_x), atol=2e-5
+    )
+
+
+def test_packed_dropout_deterministic_and_bwd_regenerates():
+    B, H, T, hd = 2, 2, 128, 64
+    rng = np.random.default_rng(6)
+    scale = 1.0 / np.sqrt(hd)
+    q, k, v = (rng.standard_normal((B, H, T, hd)).astype(np.float32)
+               for _ in range(3))
+    mask = np.ones((B, T), np.float32)
+    mask[:, T - 5:] = 0.0
+    bias = jnp.asarray((1.0 - mask) * ta.NEG_INF)
+    slab = _to_packed_slab(q, k, v)
+    zb = jnp.zeros((3 * H * hd,), jnp.float32)
+    seed = jnp.full((1,), 7, jnp.int32)
+    a = ta.mha_train_packed(slab, zb, bias, seed, H, 0.5, scale)
+    b = ta.mha_train_packed(slab, zb, bias, seed, H, 0.5, scale)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = ta.mha_train_packed(slab, zb, bias, seed + 1, H, 0.5, scale)
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0.0
+
+    co = jnp.asarray(rng.standard_normal(np.asarray(a).shape)
+                     .astype(np.float32))
+
+    def loss(s):
+        return jnp.sum(ta.mha_train_packed(s, zb, bias, seed, H, 0.5, scale)
+                       * co)
+
+    g = jax.grad(loss)(slab)
+    # directional FD vs custom VJP (deterministic given fixed seed)
+    d = jnp.asarray(rng.standard_normal(slab.shape).astype(np.float32))
+    eps = 1e-3
+    fd = float(loss(slab + eps * d) - loss(slab - eps * d)) / (2 * eps)
+    an = float(jnp.sum(g * d))
+    np.testing.assert_allclose(fd, an, rtol=5e-3, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
 # dropout (rate > 0): determinism + fwd/bwd mask regeneration
 # ---------------------------------------------------------------------------
 
