@@ -20,6 +20,97 @@ import time
 import numpy as np
 
 
+def _bench_packed(args, mcfg, dcfg, tcfg, rng) -> None:
+    """samples/s for --pack_sequences at a synthetic length distribution.
+
+    The packed step consumes a VARYING number of real samples per step
+    (metrics["kept"]); throughput is Σkept / Σtime over chained steps —
+    directly comparable to the parity headline's samples/s.
+    """
+    import jax
+    import jax.numpy as jnp
+    import json
+    import time
+
+    from mmtg_tpu.models.mmtg import init_mmtg_params
+    from mmtg_tpu.pack import PackedBatcher, synthetic_framed_cols
+    from mmtg_tpu.train import create_train_state, make_train_step
+
+    V = mcfg.gpt2.vocab_size
+    E = dcfg.wenlan_emb_size
+    n_samples = 4096
+    lens = np.clip(
+        rng.normal(args.pack_avg_len, 4.0, (n_samples, 10)), 2, 20
+    ).astype(np.int64)
+    cols = synthetic_framed_cols(rng, dcfg, lens, emb_size=E)
+    L = args.pack_row_len
+    rows = args.pack_rows or max(8, (65536 // L) // 8 * 8)
+    pb = PackedBatcher(cols, dcfg, row_len=L, max_slots=8)
+    batches = []
+    kept = []
+    for b in pb.batches(rows, shuffle=True,
+                        rng=np.random.default_rng(1)):
+        if b["slot_valid"].sum() < rows:  # tail
+            break
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+        kept.append(float(b["slot_valid"].sum()))
+        if len(batches) >= 4:
+            break
+    if not batches:
+        raise SystemExit("packing produced no full batches; lower "
+                         "--pack-rows")
+    const = {
+        "wenlan_table": jnp.asarray(rng.standard_normal((V, E)), jnp.float32)
+    }
+    state, tx = create_train_state(
+        jax.random.PRNGKey(2), mcfg, tcfg, 10, 1000,
+        params=init_mmtg_params(jax.random.PRNGKey(0), mcfg),
+    )
+    step_fn = make_train_step(mcfg, dcfg, tcfg, tx)
+    stage = jnp.asarray(3)
+
+    def sync(x):
+        float(jnp.sum(x))
+
+    state, m = step_fn(state, const, batches[0], stage)
+    sync(m["total"])
+
+    K = args.steps_per_block
+    block = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        for i in range(K):
+            state, m = step_fn(state, const, batches[i % len(batches)], stage)
+        sync(m["total"])
+        block.append((time.perf_counter() - t0) / K)
+    block.sort()
+    dt = block[len(block) // 2]
+    samples_per_step = float(np.mean(kept[:K]))
+    out = {
+        "metric": "packed train samples/sec (--pack_sequences, "
+                  f"avg sentence {args.pack_avg_len:.0f} tok, "
+                  f"{rows} rows x {L})",
+        "value": round(samples_per_step / dt, 1),
+        "unit": "samples/s",
+        "vs_baseline": None,
+        "detail": {
+            "step_ms_p50": round(dt * 1e3, 1),
+            "rows": rows,
+            "row_len": L,
+            "samples_per_step_mean": round(samples_per_step, 1),
+            "pack_density": round(pb.density, 3),
+            "dtype": args.dtype,
+            "attn_impl": args.attn_impl,
+            "remat_policy": args.remat_policy,
+            "runs": args.runs,
+            "non_parity": "objective counts real labels only "
+                          "(mmtg_tpu/pack.py contract)",
+            "device": str(jax.devices()[0].device_kind),
+        },
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -39,6 +130,28 @@ def main() -> None:
                     help="train attention kernel: auto → pallas_packed "
                          "(unpadded slab) on TPU; 'pallas' keeps the r02 "
                          "padded-slab variant for A/B")
+    ap.add_argument("--remat-policy", default="auto",
+                    choices=["auto", "full", "save_qkv_ctx",
+                             "save_ctx_fc1", "save_all"],
+                    help="selective-remat menu (models/gpt2.py). r03 "
+                         "measured save_qkv_ctx LOSING with the padded "
+                         "slab; the packed slab halves the qkv save cost")
+    ap.add_argument("--pack", action="store_true",
+                    help="bench the --pack_sequences mode: synthetic "
+                         "lyric-length distribution, packed rows, "
+                         "samples/s = real samples consumed per second "
+                         "(NON-parity objective; see mmtg_tpu/pack.py)")
+    ap.add_argument("--pack-avg-len", type=float, default=12.0,
+                    help="mean content tokens per sentence (max 20) for "
+                         "the synthetic packing distribution")
+    ap.add_argument("--pack-rows", type=int, default=0,
+                    help="packed rows per step (0 = match the parity "
+                         "token budget: 65536 / row_len, rounded to 8)")
+    ap.add_argument("--pack-row-len", type=int, default=512,
+                    help="packed row length (multiple of 128). Longer "
+                         "rows pack more samples each (less dead tail) "
+                         "but pay quadratic in-row attention; 512 fits "
+                         "~3 avg lyric samples")
     ap.add_argument("--round", type=int, default=0,
                     help="also write BENCH_TRAIN_r{N}.json")
     ap.add_argument("--steps-per-block", type=int, default=5,
@@ -63,15 +176,20 @@ def main() -> None:
     from mmtg_tpu.models.mmtg import init_mmtg_params
     from mmtg_tpu.train import (
         _resolve_loss_impl,
+        _resolve_remat_policy,
         create_train_state,
         make_train_step,
     )
 
     mcfg, dcfg = ModelConfig(), DataConfig()
     tcfg = TrainConfig(alpha=0.2, dtype=args.dtype, loss_impl=args.loss_impl,
-                       attn_impl=args.attn_impl)
+                       attn_impl=args.attn_impl,
+                       remat_policy=args.remat_policy)
     rng = np.random.default_rng(0)
     B = args.batch
+
+    if args.pack:
+        return _bench_packed(args, mcfg, dcfg, tcfg, rng)
     P, T, E = dcfg.topic_prompt_length, dcfg.target_length, dcfg.wenlan_emb_size
     V = mcfg.gpt2.vocab_size
 
@@ -152,7 +270,7 @@ def main() -> None:
             "best_samples_s": round(B / block_times[0], 1),
             "runs": args.runs,
             "spread_pct": round(spread, 1),
-            "remat": "full-block",
+            "remat": _resolve_remat_policy(tcfg.remat_policy, batch),
             "attn_impl": args.attn_impl,
             "loss_impl": _resolve_loss_impl(
                 tcfg.loss_impl, batch, mcfg.gpt2.vocab_size

@@ -32,12 +32,18 @@ import optax
 from mmtg_tpu.configs import DataConfig, ModelConfig, TrainConfig
 from mmtg_tpu.loss import (
     curriculum_sample_weights,
+    packed_sequence_unlikelihood_loss,
+    packed_sequence_unlikelihood_loss_from_hidden,
     sequence_unlikelihood_loss,
     sequence_unlikelihood_loss_from_hidden,
     stage_for_epoch,
     weighted_mean,
 )
-from mmtg_tpu.models.mmtg import init_mmtg_params, mmtg_forward_train
+from mmtg_tpu.models.mmtg import (
+    init_mmtg_params,
+    mmtg_forward_train,
+    mmtg_forward_train_packed,
+)
 from mmtg_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
@@ -99,13 +105,29 @@ def create_train_state(
     )
 
 
-def _resolve_remat_policy(policy: str) -> str:
-    """"auto" → "full". Measured (docs/PERF.md): saving activations
-    round-trips through HBM slower than recomputing them at ~180 TFLOP/s
-    — save_all is ≤3% faster at b128 and OOMs at b256 (19.5 of 15.75 GB)
-    — so full-block remat is the right default at every batch that needs
-    remat at all. The named policies stay selectable for other chips."""
-    return "full" if policy == "auto" else policy
+def _resolve_remat_policy(policy: str, batch=None, pp=None) -> str:
+    """"auto" → "save_qkv_ctx" when the saved pair fits, else "full".
+
+    r03 measured save_qkv_ctx LOSING with the padded attention slab
+    (521 vs 511 ms @ b256): saving the [B,T,4608] padded qkv round-trips
+    more HBM than the recompute costs. The r05 PACKED slab halves that
+    save to [B,T,2304], flipping the verdict: 393.5 → 382.9 ms @ b256
+    (docs/PERF.md round-5 A/B; save_ctx_fc1 385.4, chunked-loss 401.6).
+    Memory gate: qkv+ctx ≈ 73728·B·T bytes across 12 layers — fine at
+    b256×256 (4.8 GB of 15.75), OOM territory at b512 → fall back to
+    "full" past ~5 GB. Pipeline path keeps "full" (per-stage savings
+    unmeasured)."""
+    if policy != "auto":
+        return policy
+    if pp is not None or batch is None:
+        return "full"
+    if "tokens" in batch:  # packed rows
+        B, T = batch["tokens"].shape
+    else:
+        B, T = batch["targets"].shape
+        T += 15  # topic prompt rides in front of the targets
+    Tp = ((T + 127) // 128) * 128  # kernel sequence pad
+    return "save_qkv_ctx" if 73728 * B * Tp <= 5e9 else "full"
 
 
 def _resolve_loss_impl(impl: str, batch: Dict[str, jnp.ndarray], vocab: int) -> str:
@@ -118,7 +140,8 @@ def _resolve_loss_impl(impl: str, batch: Dict[str, jnp.ndarray], vocab: int) -> 
     vocab (50257) needs chunked from b128 up."""
     if impl != "auto":
         return impl
-    B, T = batch["targets"].shape
+    B, T = (batch["tokens"].shape if "tokens" in batch
+            else batch["targets"].shape)
     return "full" if 6 * B * T * vocab < 5e9 else "chunked"
 
 
@@ -153,6 +176,36 @@ def loss_and_metrics(
         )
         == "chunked"
     )
+    if "seg" in batch:
+        # --pack_sequences: segment-packed rows (mmtg_tpu.pack). The
+        # NON-parity objective — per-slot CE over real labels only — is
+        # the whole point; see pack.py's token-accounting contract.
+        out = mmtg_forward_train_packed(
+            fwd_params,
+            fwd_const,
+            mcfg,
+            dcfg,
+            batch,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+            remat=tcfg.remat and not deterministic,
+            attn_impl=tcfg.attn_impl,
+            remat_policy=_resolve_remat_policy(tcfg.remat_policy, batch),
+            lm_head=not chunked,
+        )
+        if chunked:
+            loss, weights, _ = packed_sequence_unlikelihood_loss_from_hidden(
+                out.hidden, fwd_params["gpt2"]["wte"], batch, stage
+            )
+        else:
+            loss, weights, _ = packed_sequence_unlikelihood_loss(
+                out.logits, batch, stage
+            )
+        kl_flat = out.kl_per_sample.astype(jnp.float32).reshape(-1)
+        kl = weighted_mean(kl_flat, weights)
+        total = loss + tcfg.alpha * kl
+        return total, {"loss": loss, "kl": kl, "total": total,
+                       "kept": jnp.sum(weights)}
     out = mmtg_forward_train(
         fwd_params,
         fwd_const,
@@ -163,7 +216,7 @@ def loss_and_metrics(
         deterministic=deterministic,
         remat=tcfg.remat and not deterministic,
         attn_impl=tcfg.attn_impl,
-        remat_policy=_resolve_remat_policy(tcfg.remat_policy),
+        remat_policy=_resolve_remat_policy(tcfg.remat_policy, batch, pp=pp),
         lm_head=not chunked,
         pp=pp,
     )
@@ -388,6 +441,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="ZeRO-1: shard the AdamW moments over the data "
                         "axis (1/dp optimizer bytes per device; GSPMD "
                         "emits the reduce-scatter/all-gather)")
+    p.add_argument("--pack_sequences", action="store_true",
+                   help="EXPLICITLY NON-PARITY throughput mode: drop PAD "
+                        "tokens, pack samples into segment-masked rows "
+                        "(mmtg_tpu.pack). Changes the objective's token "
+                        "accounting (per-sample CE over real labels, not "
+                        "the fixed 220 grid); eval stays parity/unpacked. "
+                        "Single-mesh or data-parallel only.")
+    p.add_argument("--pack_row_len", default=512, type=int,
+                   help="packed row length (multiple of 128 for the "
+                        "Pallas kernel). Longer rows pack more samples "
+                        "each (less dead tail) but pay quadratic in-row "
+                        "attention; 512 fits ~3 average lyric samples")
+    p.add_argument("--pack_slots", default=8, type=int,
+                   help="max samples per packed row")
+    p.add_argument("--pack_rows", default=0, type=int,
+                   help="rows per packed step (0 = auto: ≈ the token "
+                        "budget of --batch_size parity rows)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="dump a jax.profiler (Perfetto) trace of steps 10-30")
     p.add_argument("--debug_nans", action="store_true",
@@ -730,18 +800,53 @@ def _train_loop(
     val_loss = float("inf")
     rng_np = np.random.default_rng(tcfg.seed)
 
+    packer = None
+    if getattr(args, "pack_sequences", False):
+        if pp is not None:
+            raise ValueError("--pack_sequences does not support pipeline "
+                             "parallelism")
+        if mesh is not None and dict(mesh.shape).get("model", 1) > 1:
+            raise ValueError("--pack_sequences supports data parallelism "
+                             "only (--mesh_model must be 1)")
+        from mmtg_tpu.pack import PackedBatcher
+
+        packer = PackedBatcher(
+            train_data.arrays(), dcfg,
+            row_len=args.pack_row_len, max_slots=args.pack_slots,
+        )
+        logger.info(
+            "Sequence packing ON (non-parity objective): density %.3f "
+            "(real/grid tokens), row_len %d, ≤%d samples/row",
+            packer.density, args.pack_row_len, args.pack_slots,
+        )
+
+    grid_len = dcfg.topic_prompt_length + dcfg.target_length
+
     for epoch in range(start_epoch, tcfg.epochs):
         t1 = time.time()
         stage = stage_for_epoch(epoch, curriculums)
         # stage 1 runs 2× batch then filters (reference train.py:128-135)
         bs = 2 * tcfg.batch_size if stage == 1 else tcfg.batch_size
         vbs = 2 * tcfg.val_batch_size if stage == 1 else tcfg.val_batch_size
-        steps_per_epoch = math.ceil(len(train_data) / bs)
+        if packer is not None:
+            rows = args.pack_rows or max(
+                8, 8 * round(bs * grid_len * packer.density
+                             / args.pack_row_len / 8)
+            )
+            est_rows = math.ceil(
+                len(train_data) * grid_len * packer.density
+                / args.pack_row_len
+            )
+            steps_per_epoch = max(1, math.ceil(est_rows / rows))
+            batch_iter = packer.batches(rows, shuffle=True, rng=rng_np)
+        else:
+            steps_per_epoch = math.ceil(len(train_data) / bs)
+            batch_iter = train_data.batches(bs, shuffle=True, rng=rng_np)
         val_every = max(int(steps_per_epoch * tcfg.val_interval_ratio), 1)
         logger.info("Epoch %d/%d (stage %d)", epoch + 1, tcfg.epochs, stage)
 
-        avg_loss, seen_steps = 0.0, 0
-        for step, batch in enumerate(train_data.batches(bs, shuffle=True, rng=rng_np)):
+        avg_loss, seen_steps, kept_total = 0.0, 0, 0.0
+        for step, batch in enumerate(batch_iter):
             jb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             if args.profile_dir and epoch == 0 and step == 10:
                 jax.profiler.start_trace(args.profile_dir)
@@ -750,6 +855,7 @@ def _train_loop(
             # device sync via host transfer (block_until_ready returns at
             # dispatch on the axon platform)
             avg_loss += float(metrics["loss"])
+            kept_total += float(metrics["kept"])
             timer.stop()
             if args.profile_dir and epoch == 0 and step == 30:
                 jax.profiler.stop_trace()
@@ -760,7 +866,10 @@ def _train_loop(
                     "Epoch: %d, Step: %d/%d, Average loss: %.6f, "
                     "p50 step: %.1f ms, samples/s: %.1f",
                     epoch + 1, step + 1, steps_per_epoch,
-                    avg_loss / seen_steps, timer.p50_ms, timer.throughput(bs),
+                    avg_loss / seen_steps, timer.p50_ms,
+                    timer.throughput(
+                        kept_total / seen_steps if packer is not None else bs
+                    ),
                 )
             if step > 0 and (step + 1) % val_every == 0:
                 val_loss, _ = evaluate(
