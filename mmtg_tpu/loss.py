@@ -140,6 +140,107 @@ def sequence_unlikelihood_loss_from_hidden(
     return jnp.sum(per_sample * sample_weights) / denom
 
 
+def _packed_slot_loss(
+    nll_sums: jnp.ndarray,  # [R·S] per-slot summed label NLL
+    pbatch,
+    stage: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-slot CE → sequence-level unlikelihood → weighted batch mean.
+
+    NON-parity accounting (pack.py contract): CE divides by the slot's
+    REAL label count instead of the fixed 220; a PAD-free sample makes
+    the two coincide exactly (tested)."""
+    R, S = pbatch["slot_valid"].shape
+    ratings = pbatch["slot_rating"].reshape(R * S)
+    valid = pbatch["slot_valid"].reshape(R * S)
+    nlab = pbatch["slot_nlabels"].reshape(R * S)
+    ce = nll_sums / jnp.maximum(nlab, 1.0)
+    # Empty slots carry ce == 0 → p == 1 → XLA may reassociate
+    # 1 - p + eps into exactly 0 and emit log(0) = -inf, which the ×0
+    # slot weight then turns into NaN. Pin dead slots to a harmless ce
+    # BEFORE the logs (real slots keep the parity formula untouched).
+    ce = jnp.where(valid > 0, ce, 1.0)
+    y = binarize_ratings(ratings, stage)
+    p = jnp.exp(-ce)
+    per_slot = -y * jnp.log(p + NEAR_0) - (1.0 - y) * jnp.log(1.0 - p + NEAR_0)
+    weights = curriculum_sample_weights(ratings, stage) * valid
+    denom = jnp.maximum(jnp.sum(weights), 1.0)
+    return jnp.sum(per_slot * weights) / denom, weights, denom
+
+
+def _packed_flat_ids(pbatch) -> jnp.ndarray:
+    """[R, L] global slot id per token (R·S = dump bucket for pads)."""
+    R, L = pbatch["tokens"].shape
+    S = pbatch["slot_valid"].shape[1]
+    seg = pbatch["seg"]
+    base = jnp.arange(R, dtype=jnp.int32)[:, None] * S
+    return jnp.where(seg < S, base + seg, R * S)
+
+
+def packed_sequence_unlikelihood_loss(
+    logits: jnp.ndarray,  # [R, L, V]
+    pbatch,
+    stage: jnp.ndarray,
+):
+    """Full-logits packed loss (``--pack_sequences``). Returns
+    ``(loss, slot_weights, denom)`` — weights feed the KL mean."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, pbatch["labels"][..., None].astype(jnp.int32), axis=-1
+    )[..., 0] * pbatch["label_w"]
+    R, L = nll.shape
+    S = pbatch["slot_valid"].shape[1]
+    sums = jax.ops.segment_sum(
+        nll.reshape(R * L), _packed_flat_ids(pbatch).reshape(R * L),
+        num_segments=R * S + 1,
+    )[: R * S]
+    return _packed_slot_loss(sums, pbatch, stage)
+
+
+def packed_sequence_unlikelihood_loss_from_hidden(
+    hidden: jnp.ndarray,  # [R, L, D]
+    wte: jnp.ndarray,
+    pbatch,
+    stage: jnp.ndarray,
+    chunk_size: int = 64,
+):
+    """Chunked-LM-head packed loss: [R, chunk, V] logit slices under
+    ``jax.checkpoint`` (same memory story as the parity chunked path)."""
+    R, L, D = hidden.shape
+    S = pbatch["slot_valid"].shape[1]
+    n_chunks = -(-L // chunk_size)
+    pad = n_chunks * chunk_size - L
+    h = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))) if pad else hidden
+    lab = jnp.pad(pbatch["labels"], ((0, 0), (0, pad))) if pad else pbatch["labels"]
+    lw = jnp.pad(pbatch["label_w"], ((0, 0), (0, pad))) if pad else pbatch["label_w"]
+    ids = _packed_flat_ids(pbatch)
+    ids = (jnp.pad(ids, ((0, 0), (0, pad)), constant_values=R * S)
+           if pad else ids)
+    hs = h.reshape(R, n_chunks, chunk_size, D).transpose(1, 0, 2, 3)
+    ys = lab.reshape(R, n_chunks, chunk_size).transpose(1, 0, 2)
+    ws = lw.reshape(R, n_chunks, chunk_size).transpose(1, 0, 2)
+    fs = ids.reshape(R, n_chunks, chunk_size).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_sums(h_c, y_c, w_c, f_c):
+        logits = (h_c @ wte.T).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, y_c[..., None].astype(jnp.int32), axis=-1
+        )[..., 0] * w_c
+        return jax.ops.segment_sum(
+            nll.reshape(-1), f_c.reshape(-1), num_segments=R * S + 1
+        )[: R * S]
+
+    def body(acc, xs):
+        return acc + chunk_sums(*xs), None
+
+    sums, _ = jax.lax.scan(
+        body, jnp.zeros((R * S,), jnp.float32), (hs, ys, ws, fs)
+    )
+    return _packed_slot_loss(sums, pbatch, stage)
+
+
 def weighted_mean(values: jnp.ndarray, weights: jnp.ndarray | None) -> jnp.ndarray:
     """Weighted batch mean used for the KL term under curriculum masks
     (reference means the KL over the filtered batch, ``train.py:192``)."""

@@ -286,6 +286,7 @@ def gpt2_forward(
     remat_policy: str = "full",
     lm_head: bool = True,
     pp: Optional[Tuple] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Full-sequence (teacher-forced / prefill) forward.
 
@@ -294,6 +295,10 @@ def gpt2_forward(
       position_ids: ``[B, T]`` or ``[T]`` int32.
       token_type_ids: ``[B, T]`` — embedded via ``wte`` (HF semantics).
       attention_mask: ``[B, T]`` 1/0 key-padding mask.
+      segment_ids: ``[B, T]`` int32 (sequence packing, ``mmtg_tpu.pack``):
+        attention becomes causal WITHIN equal segment ids and blocked
+        across them; replaces ``attention_mask``. Train-path only
+        (pallas_packed kernel or xla; no return_kv/pp).
       remat: rematerialize each block in the backward pass
         (``jax.checkpoint`` on the layer scan body) — trades ~33% extra
         forward FLOPs for O(1-layer) instead of O(12-layer) activation
@@ -346,14 +351,20 @@ def gpt2_forward(
         )
     if return_kv or cfg.head_dim > 128:
         attn_impl = "xla"
+    if segment_ids is not None:
+        if pp is not None or return_kv:
+            raise ValueError("segment_ids is train-path only (no pp/kv)")
+        if attn_impl == "pallas":
+            attn_impl = "pallas_packed"  # only the packed kernel takes seg
     if attn_impl == "pallas_packed" and cfg.head_dim % 64:
-        attn_impl = "pallas"  # packed path needs 64-lane-sliceable heads
+        # packed kernel needs 64-lane-sliceable heads
+        attn_impl = "xla" if segment_ids is not None else "pallas"
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, h.dtype))
     # local head count from the (possibly TP-sharded) QKV shape
     n_head = (params["h"]["attn_w"].shape[-1] // 3) // cfg.head_dim
 
-    bias = key_bias = None
+    bias = key_bias = seg = None
     T_real = T
     if attn_impl in ("pallas", "pallas_packed"):
         # Sequence padded once to a 128 multiple for the whole stack;
@@ -361,6 +372,7 @@ def gpt2_forward(
         from mmtg_tpu.ops.train_attention import (
             mha_train,
             mha_train_packed,
+            mha_train_packed_seg,
             pad_proj_weights,
             pad_qkv_weights,
         )
@@ -368,31 +380,44 @@ def gpt2_forward(
         Tp = ((T + 127) // 128) * 128
         if Tp != T:
             h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
-        mask = (
-            attention_mask
-            if attention_mask is not None
-            else jnp.ones((B, T), jnp.int32)
-        )
-        mask = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))
-        key_bias = (1.0 - mask) * NEG_INF  # [B, Tp] rows
+        if segment_ids is not None:
+            # pad slots get a dedicated segment: they see only themselves
+            # (finite softmax rows) and never mix with real tokens
+            seg = jnp.pad(segment_ids.astype(jnp.int32),
+                          ((0, 0), (0, Tp - T)), constant_values=2**15)
+        else:
+            mask = (
+                attention_mask
+                if attention_mask is not None
+                else jnp.ones((B, T), jnp.int32)
+            )
+            mask = jnp.pad(mask.astype(jnp.float32), ((0, 0), (0, Tp - T)))
+            key_bias = (1.0 - mask) * NEG_INF  # [B, Tp] rows
         T = Tp
     else:
         # Additive bias: causal + key padding, [B, 1, T, T].
         causal = jnp.tril(jnp.ones((T, T), bool))
-        bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
-        if attention_mask is not None:
-            pad = (1.0 - attention_mask.astype(h.dtype)) * NEG_INF
-            bias = bias + pad[:, None, None, :]
+        if segment_ids is not None:
+            s = segment_ids.astype(jnp.int32)
+            eq = s[:, None, :, None] == s[:, None, None, :]
+            bias = jnp.where(causal[None, None] & eq, 0.0, NEG_INF).astype(
+                h.dtype
+            )
+        else:
+            bias = jnp.where(causal, 0.0, NEG_INF)[None, None, :, :]
+            if attention_mask is not None:
+                pad = (1.0 - attention_mask.astype(h.dtype)) * NEG_INF
+                bias = bias + pad[:, None, None, :]
 
     def make_block(aux, micro_idx=None):
         """Build the layer-scan body from its batch-dependent inputs.
 
-        ``aux = (bias, key_bias, rng)`` arrives as explicit arguments so
-        the pipeline path (``parallel.pipeline``) can pass per-device
+        ``aux = (bias, key_bias, seg, rng)`` arrives as explicit arguments
+        so the pipeline path (``parallel.pipeline``) can pass per-device
         shards through shard_map instead of closure captures.
         ``micro_idx`` (pipeline only) folds the microbatch index into the
         dropout rng so microbatches draw independent masks."""
-        bias, key_bias, rng = aux
+        bias, key_bias, seg, rng = aux
         if rng is not None and micro_idx is not None:
             rng = jax.random.fold_in(rng, micro_idx)
 
@@ -414,10 +439,16 @@ def gpt2_forward(
                     if rng is not None
                     else jnp.zeros((1,), jnp.int32)
                 )
-                ctx = mha_train_packed(
-                    qkv, lp["attn_b"], key_bias, seed, n_head, rate,
-                    1.0 / math.sqrt(cfg.head_dim),
-                )
+                if seg is not None:
+                    ctx = mha_train_packed_seg(
+                        qkv, lp["attn_b"], seg, seed, n_head, rate,
+                        1.0 / math.sqrt(cfg.head_dim),
+                    )
+                else:
+                    ctx = mha_train_packed(
+                        qkv, lp["attn_b"], key_bias, seed, n_head, rate,
+                        1.0 / math.sqrt(cfg.head_dim),
+                    )
                 ctx = checkpoint_name(ctx, "attn_ctx")
                 attn_out = ctx @ lp["attn_proj_w"]
                 k = v = None
@@ -477,7 +508,7 @@ def gpt2_forward(
 
         return block
 
-    aux = (bias, key_bias, rng)
+    aux = (bias, key_bias, seg, rng)
     if pp is not None:
         if return_kv:
             raise ValueError("pipeline parallelism is train-path only "

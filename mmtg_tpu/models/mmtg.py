@@ -282,6 +282,80 @@ def mmtg_forward_train(
     return MMTGOutput(logits=logits, kl_per_sample=kl, lm_loss=lm_loss)
 
 
+def mmtg_forward_train_packed(
+    params: Dict,
+    const: Dict,
+    mcfg: ModelConfig,
+    dcfg: DataConfig,
+    pbatch: Dict[str, jnp.ndarray],
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    remat: bool = False,
+    attn_impl: str = "xla",
+    remat_policy: str = "full",
+    lm_head: bool = True,
+) -> MMTGOutput:
+    """Teacher-forced forward over PACKED rows (``mmtg_tpu.pack``).
+
+    The encoder half runs per sample SLOT (``[R, S, ...]`` experience
+    arrays, flattened to ``R·S`` encoder rows — empty slots produce
+    garbage that ``slot_valid`` masks out of the loss); only the GPT-2
+    decoder runs on the packed token rows, with original-grid position
+    ids, data-provided type ids, per-token fused-window gathers and
+    segment-masked attention. Explicitly NON-parity (see pack.py's
+    token-accounting contract); the parity path is
+    :func:`mmtg_forward_train`.
+    """
+    enc_key = dec_key = None
+    if not deterministic and dropout_rng is not None:
+        enc_key, dec_key = jax.random.split(dropout_rng)
+
+    R, S, E = pbatch["topic_emb"].shape
+    flat = lambda x: x.reshape((R * S,) + x.shape[2:])
+    fused, kl = encode_experiences(
+        params,
+        mcfg,
+        flat(pbatch["topic_emb"]),
+        flat(pbatch["img_embs"]),
+        flat(pbatch["r_embs"]),
+        dropout_key=enc_key,
+    )  # fused [R·S, W, E], kl [R·S]
+    W = fused.shape[1]
+    fused = fused.reshape(R, S, W, E)
+
+    tokens = pbatch["tokens"]
+    token_wl = wenlan_embed(const["wenlan_table"], tokens)  # [R, L, E]
+    seg = pbatch["seg"]
+    win = pbatch["win"]
+    valid = (seg < S) & (win < W)
+    slot_c = jnp.minimum(seg, S - 1)
+    win_c = jnp.minimum(win, W - 1)
+    gathered = fused[jnp.arange(R)[:, None], slot_c, win_c]  # [R, L, E]
+    token_wl = token_wl + jnp.where(valid[..., None], gathered, 0.0)
+    embeds = project_to_gpt2(params, token_wl)
+
+    out, _ = gpt2_forward(
+        params["gpt2"],
+        mcfg.gpt2,
+        embeds,
+        pbatch["positions"],
+        pbatch["type_ids"],
+        attention_mask=None,
+        dropout_rng=dec_key,
+        deterministic=deterministic,
+        remat=remat,
+        attn_impl=attn_impl,
+        remat_policy=remat_policy,
+        lm_head=lm_head,
+        segment_ids=seg,
+    )
+    kl = kl.reshape(R, S)
+    if not lm_head:
+        return MMTGOutput(logits=None, kl_per_sample=kl, lm_loss=None,
+                          hidden=out)
+    return MMTGOutput(logits=out, kl_per_sample=kl, lm_loss=None)
+
+
 def mmtg_forward_infer(
     params: Dict,
     const: Dict,

@@ -532,6 +532,189 @@ def _bwd_call_packed(qkv, qkv_bias, bias, seed, do, n_head, rate, scale,
     return dqkv, dqb8[0].astype(qkv_bias.dtype)
 
 
+# -- segment-masked variant (sequence packing, mmtg_tpu/pack.py) ------------
+#
+# Same packed slab; the [B, T] additive key bias is replaced by [B, T]
+# int32 SEGMENT ids: token i may attend token j iff seg[i] == seg[j] and
+# j <= i. Packed rows hold several samples; pad slots share one dedicated
+# segment (max_slots) so their softmax rows still see themselves (never
+# all -inf) while never mixing with real tokens. The combined
+# causal+segment bias matrix is built ONCE per program and reused by all
+# unrolled heads.
+
+
+def _seg_bias(seg_ref, T: int):
+    seg = seg_ref[:, 0, :]
+    eq = seg[:, :, None] == seg[:, None, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    ok = eq & (col <= row)[None, :, :]
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _probs_mat(q, k, bias_mat, scale):
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale + bias_mat
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=2, keepdims=True)
+
+
+def _fwd_kernel_packed_seg(seed_ref, qkv_ref, qb_ref, seg_ref, o_ref,
+                           *, scale: float, rate: float, n_head: int,
+                           hd: int):
+    bias_mat = _seg_bias(seg_ref, o_ref.shape[1])
+    for h in range(n_head):
+        q, k, v = _head_slices(qkv_ref, qb_ref, h, n_head, hd)
+        p = _probs_mat(q, k, bias_mat, scale)
+        if rate > 0.0:
+            keep = _dropout_keep_at(seed_ref, h, n_head, p.shape, rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        o_ref[:, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            p.astype(o_ref.dtype), v.astype(o_ref.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_packed_seg(seed_ref, qkv_ref, qb_ref, seg_ref, do_ref,
+                           dqkv_ref, dqb_ref, *, scale: float, rate: float,
+                           n_head: int, hd: int):
+    H = n_head * hd
+    T = do_ref.shape[1]
+    bias_mat = _seg_bias(seg_ref, T)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dqb_ref[...] = jnp.zeros_like(dqb_ref)
+
+    for h in range(n_head):
+        q, k, v = _head_slices(qkv_ref, qb_ref, h, n_head, hd)
+        p = _probs_mat(q, k, bias_mat, scale)
+        if rate > 0.0:
+            keep = _dropout_keep_at(seed_ref, h, n_head, p.shape, rate)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        do = do_ref[:, :, h * hd:(h + 1) * hd]
+        dt = dqkv_ref.dtype
+        dv = jax.lax.dot_general(
+            pd.astype(dt), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, 2 * H + h * hd:2 * H + (h + 1) * hd] = dv.astype(dt)
+        dpd = jax.lax.dot_general(
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.where(keep, dpd * inv, 0.0) if rate > 0.0 else dpd
+        ds = p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))
+        ds = (ds * scale).astype(dt)
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dt)
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, :, H + h * hd:H + (h + 1) * hd] = dk.astype(dt)
+        acc = dqb_ref[0, :]
+        dqb_ref[0, h * hd:(h + 1) * hd] = (
+            acc[h * hd:(h + 1) * hd] + jnp.sum(dq, axis=(0, 1))
+        )
+        dqb_ref[0, H + h * hd:H + (h + 1) * hd] = (
+            acc[H + h * hd:H + (h + 1) * hd] + jnp.sum(dk, axis=(0, 1))
+        )
+        dqb_ref[0, 2 * H + h * hd:2 * H + (h + 1) * hd] = (
+            acc[2 * H + h * hd:2 * H + (h + 1) * hd] + jnp.sum(dv, axis=(0, 1))
+        )
+
+
+def _seg_call_packed(kernel, qkv, qkv_bias, seg, seed, n_head, rate, scale,
+                     interpret, bwd_do=None):
+    B, T, S = qkv.shape
+    hd = S // (3 * n_head)
+    bB = _batch_block_packed(B)
+    slab_block, ctx_block, _, qb_block = _specs_packed(T, bB, S, n_head * hd)
+    seg_block = pl.BlockSpec(
+        (bB, 1, T), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    if bwd_do is None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // bB,),
+            in_specs=[slab_block, qb_block, seg_block],
+            out_specs=ctx_block,
+        )
+        return pl.pallas_call(
+            functools.partial(kernel, scale=scale, rate=rate,
+                              n_head=n_head, hd=hd),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, n_head * hd), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret or INTERPRET,
+        )(seed, qkv, _pad8(qkv_bias), seg[:, None, :])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bB,),
+        in_specs=[slab_block, qb_block, seg_block, ctx_block],
+        out_specs=(slab_block, qb_block),
+    )
+    dqkv, dqb8 = pl.pallas_call(
+        functools.partial(kernel, scale=scale, rate=rate,
+                          n_head=n_head, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, S), qkv.dtype),
+            jax.ShapeDtypeStruct((8, S), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret or INTERPRET,
+    )(seed, qkv, _pad8(qkv_bias), seg[:, None, :], bwd_do)
+    return dqkv, dqb8[0].astype(qkv_bias.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def mha_train_packed_seg(qkv, qkv_bias, seg, seed, n_head, dropout_rate=0.0,
+                         scale=1.0, interpret=False):
+    """:func:`mha_train_packed` with SEGMENT masking instead of a key
+    bias: ``seg`` is ``[B, T]`` int32; attention is causal within equal
+    segment ids and blocked across them (sequence packing,
+    :mod:`mmtg_tpu.pack`). ``seg`` is non-differentiable data."""
+    return _seg_call_packed(_fwd_kernel_packed_seg, qkv, qkv_bias, seg,
+                            seed, n_head, dropout_rate, scale, interpret)
+
+
+def _mha_seg_fwd(qkv, qkv_bias, seg, seed, n_head, dropout_rate, scale,
+                 interpret):
+    out = _seg_call_packed(_fwd_kernel_packed_seg, qkv, qkv_bias, seg,
+                           seed, n_head, dropout_rate, scale, interpret)
+    return out, (qkv, qkv_bias, seg, seed)
+
+
+def _mha_seg_bwd(n_head, dropout_rate, scale, interpret, res, g):
+    qkv, qkv_bias, seg, seed = res
+    dqkv, dqb = _seg_call_packed(_bwd_kernel_packed_seg, qkv, qkv_bias, seg,
+                                 seed, n_head, dropout_rate, scale,
+                                 interpret, bwd_do=g)
+    return dqkv, dqb, None, None
+
+
+mha_train_packed_seg.defvjp(_mha_seg_fwd, _mha_seg_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def mha_train_packed(qkv, qkv_bias, bias, seed, n_head, dropout_rate=0.0,
                      scale=1.0, interpret=False):

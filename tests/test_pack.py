@@ -1,0 +1,213 @@
+"""Sequence packing (`--pack_sequences`, mmtg_tpu/pack.py).
+
+The binding test is LOSSLESS EQUIVALENCE: a batch whose samples contain
+zero PAD (every sentence exactly max_sent_length content tokens, full
+topic prompt) compacts to the identical 236-token stream, so the packed
+forward + packed loss must reproduce the parity path's loss and
+gradients exactly — the non-parity deltas (dropped PAD inputs, real-label
+CE denominator) only exist where PAD exists.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtg_tpu.configs import DataConfig, SpecialTokens, TrainConfig
+from mmtg_tpu.models.mmtg import init_mmtg_params
+from mmtg_tpu.pack import NO_WINDOW, PackedBatcher, compact_sample
+from mmtg_tpu.train import create_train_state, loss_and_metrics, make_train_step
+
+SP = SpecialTokens()
+
+
+def _make_cols(rng, dcfg, content_lens_per_sample, E=64, W=5):
+    from mmtg_tpu.pack import synthetic_framed_cols
+
+    return synthetic_framed_cols(
+        rng, dcfg, content_lens_per_sample, emb_size=E, n_windows=W,
+        vocab_high=190,
+    )
+
+
+@pytest.fixture(scope="module")
+def dcfg():
+    return DataConfig(wenlan_emb_size=64)
+
+
+def test_compact_sample_roundtrip(dcfg):
+    rng = np.random.default_rng(0)
+    cols = _make_cols(rng, dcfg, [[7, 3, 20, 0, 12, 5, 1, 20, 9, 2]])
+    c = compact_sample(
+        cols["topic_ids"][0], cols["tpw_attention_mask"][0],
+        cols["tpw_type_ids"][0], cols["targets"][0], cols["type_ids"][0],
+        dcfg,
+    )
+    # kept tokens = topic (15, full mask) + non-PAD targets
+    n_target = int((cols["targets"][0] != SP.pad_id).sum())
+    assert c["tok"].shape[0] == 15 + n_target
+    # positions strictly increasing, token at each position matches source
+    grid = np.concatenate([cols["topic_ids"][0], cols["targets"][0]])
+    assert (np.diff(c["pos"]) > 0).all()
+    np.testing.assert_array_equal(grid[c["pos"]], c["tok"])
+    # labels: next kept token; label count = kept targets at grid pos>=1
+    assert c["label_w"].sum() == n_target - 1
+    # windows: target tokens map to orig_target_pos // 44 (<=4), topic none
+    is_topic = c["pos"] < 15
+    assert (c["win"][is_topic] == NO_WINDOW).all()
+    tpos = c["pos"][~is_topic] - 15
+    np.testing.assert_array_equal(
+        c["win"][~is_topic],
+        np.where(tpos < 220, np.minimum(tpos // 44, 4), NO_WINDOW),
+    )
+
+
+def test_packer_packs_and_accounts(dcfg):
+    rng = np.random.default_rng(1)
+    lens = [[rng.integers(2, 12) for _ in range(10)] for _ in range(9)]
+    cols = _make_cols(rng, dcfg, lens)
+    pb = PackedBatcher(cols, dcfg, row_len=256, max_slots=4)
+    assert 0.3 < pb.density < 0.9
+    batches = list(pb.batches(rows_per_batch=2))
+    slots = sum(int(b["slot_valid"].sum()) for b in batches)
+    assert slots == 9  # every sample packed exactly once
+    for b in batches:
+        # tokens never PAD where seg is live; seg==S where dead
+        live = b["seg"] < 4
+        assert (b["tokens"][live] != SP.pad_id).all()
+        assert (b["tokens"][~live] == SP.pad_id).all()
+
+
+def test_packed_matches_parity_when_padfree(tiny_model_cfg, dcfg):
+    """Zero-PAD batch: packed loss == parity loss, gradients equal."""
+    rng = np.random.default_rng(2)
+    full = [[dcfg.max_sent_length] * 10 for _ in range(4)]
+    cols = _make_cols(rng, dcfg, full)
+    mcfg = tiny_model_cfg
+    params = init_mmtg_params(jax.random.PRNGKey(0), mcfg)
+    const = {
+        "wenlan_table": jnp.asarray(
+            rng.standard_normal((mcfg.gpt2.vocab_size, 64)), jnp.float32
+        )
+    }
+    tcfg = TrainConfig(alpha=0.2, dtype="float32", loss_impl="full")
+    stage = jnp.asarray(3)
+
+    parity_batch = {k: jnp.asarray(v) for k, v in cols.items()}
+    parity_batch["sample_mask"] = jnp.ones((4,), jnp.float32)
+
+    pb = PackedBatcher(cols, dcfg, row_len=236, max_slots=1)
+    packed = next(pb.batches(rows_per_batch=4))
+    assert packed["slot_valid"].sum() == 4
+    np.testing.assert_array_equal(packed["slot_nlabels"], 220.0)
+    packed = {k: jnp.asarray(v) for k, v in packed.items()}
+
+    def parity_loss(p):
+        return loss_and_metrics(
+            p, const, mcfg, dcfg, tcfg, parity_batch, stage, None, True
+        )[0]
+
+    def packed_loss(p):
+        return loss_and_metrics(
+            p, const, mcfg, dcfg, tcfg, packed, stage, None, True
+        )[0]
+
+    l1, g1 = jax.value_and_grad(parity_loss)(params)
+    l2, g2 = jax.value_and_grad(packed_loss)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_packed_chunked_loss_matches_full(tiny_model_cfg, dcfg):
+    rng = np.random.default_rng(3)
+    lens = [[rng.integers(2, 18) for _ in range(10)] for _ in range(6)]
+    cols = _make_cols(rng, dcfg, lens)
+    mcfg = tiny_model_cfg
+    params = init_mmtg_params(jax.random.PRNGKey(1), mcfg)
+    const = {
+        "wenlan_table": jnp.asarray(
+            rng.standard_normal((mcfg.gpt2.vocab_size, 64)), jnp.float32
+        )
+    }
+    stage = jnp.asarray(3)
+    pb = PackedBatcher(cols, dcfg, row_len=256, max_slots=3)
+    packed = {k: jnp.asarray(v)
+              for k, v in next(pb.batches(rows_per_batch=4)).items()}
+    t_full = TrainConfig(alpha=0.2, loss_impl="full")
+    t_chunk = TrainConfig(alpha=0.2, loss_impl="chunked")
+    l1, m1 = loss_and_metrics(
+        params, const, mcfg, dcfg, t_full, packed, stage, None, True)
+    l2, m2 = loss_and_metrics(
+        params, const, mcfg, dcfg, t_chunk, packed, stage, None, True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    assert float(m1["kept"]) == float(m2["kept"]) > 0
+
+
+def test_packed_train_step_runs_and_descends(tiny_model_cfg, dcfg):
+    rng = np.random.default_rng(4)
+    lens = [[rng.integers(2, 14) for _ in range(10)] for _ in range(8)]
+    cols = _make_cols(rng, dcfg, lens)
+    mcfg = tiny_model_cfg
+    tcfg = TrainConfig(alpha=0.2, loss_impl="full", remat=True)
+    state, tx = create_train_state(
+        jax.random.PRNGKey(2), mcfg, tcfg, 2, 10,
+        params=init_mmtg_params(jax.random.PRNGKey(0), mcfg),
+    )
+    const = {
+        "wenlan_table": jnp.asarray(
+            rng.standard_normal((mcfg.gpt2.vocab_size, 64)), jnp.float32
+        )
+    }
+    step = make_train_step(mcfg, dcfg, tcfg, tx)
+    pb = PackedBatcher(cols, dcfg, row_len=256, max_slots=4)
+    packed = {k: jnp.asarray(v)
+              for k, v in next(pb.batches(rows_per_batch=4)).items()}
+    stage = jnp.asarray(3)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, const, packed, stage)
+        assert np.isfinite(float(m["total"]))
+        losses.append(float(m["total"]))
+    assert losses[-1] < losses[0]
+    assert float(m["kept"]) == float(np.asarray(packed["slot_valid"]).sum())
+
+
+def test_seg_kernel_matches_xla_packed_forward(tiny_model_cfg, dcfg):
+    """gpt2_forward(segment_ids=...) pallas_packed (interpret) == xla."""
+    from mmtg_tpu.configs import GPT2Config
+    from mmtg_tpu.models.gpt2 import gpt2_forward, init_gpt2_params
+    from mmtg_tpu.ops import train_attention as ta
+
+    cfg = GPT2Config(vocab_size=120, n_positions=256, n_embd=128,
+                     n_layer=2, n_head=2)
+    params = init_gpt2_params(jax.random.PRNGKey(3), cfg)
+    B, T = 2, 100
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.standard_normal((B, T, cfg.n_embd)) * 0.1,
+                      jnp.float32)
+    pos = jnp.asarray(
+        np.stack([np.concatenate([np.arange(60), np.arange(40)]),
+                  np.concatenate([np.arange(70), np.arange(30)])]),
+        jnp.int32,
+    )
+    seg = jnp.asarray(
+        np.stack([np.r_[np.zeros(60), np.ones(40)],
+                  np.r_[np.zeros(70), np.ones(30)]]),
+        jnp.int32,
+    )
+    logits_x, _ = gpt2_forward(params, cfg, emb, pos, segment_ids=seg,
+                               attn_impl="xla")
+    ta.INTERPRET = True
+    try:
+        logits_p, _ = gpt2_forward(params, cfg, emb, pos, segment_ids=seg,
+                                   attn_impl="pallas_packed")
+    finally:
+        ta.INTERPRET = False
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_x), atol=3e-5
+    )

@@ -295,13 +295,118 @@ def run(
     return report
 
 
+def run_pack_ab(
+    n_train: int = 240,
+    n_val: int = 32,
+    epochs: int = 3,
+    batch_size: int = 16,
+    out_json: str = "docs/QUALITY_LOOP_PACK.json",
+    seed: int = 0,
+    work_dir: str = "/tmp/mmtg_quality_pack",
+) -> dict:
+    """Packing quality check: the SAME synthetic corpus trained twice —
+    parity vs ``--pack_sequences`` — with the (always-parity, unpacked)
+    validation loss as the common yardstick. Packing changes the train
+    objective's token accounting (mmtg_tpu/pack.py contract); this loop
+    verifies the packed objective still LEARNS the parity-measured task
+    (falling val loss, final within range of parity's)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from mmtg_tpu.configs import ChannelConfig, DataConfig, GPT2Config, ModelConfig
+    from mmtg_tpu.data import make_synthetic_records
+    from mmtg_tpu.train import main as train_main
+
+    os.makedirs(work_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    vocab_size = 13317
+    dcfg = DataConfig(wenlan_emb_size=64)
+    mcfg = ModelConfig(
+        topic=ChannelConfig(input_dim=64, hidden_dim=32, type="MLP"),
+        image=ChannelConfig(input_dim=64, hidden_dim=32),
+        text=ChannelConfig(input_dim=64, hidden_dim=32),
+        self_att_hidden_size=32,
+        self_att_heads=4,
+        mm_att_out_dim=64,
+        gpt2=GPT2Config(vocab_size=vocab_size, n_positions=256,
+                        n_ctx=250, n_embd=64, n_layer=2, n_head=4),
+    )
+    vocab = os.path.join(os.path.dirname(__file__), "..", "vocab",
+                         "vocab.txt")
+    paths = {}
+    for name, n in [("train", n_train), ("val", n_val)]:
+        recs = make_synthetic_records(n, rng, emb_size=64,
+                                      lyrics_pool=LYRICS_POOL)
+        paths[name] = os.path.join(work_dir, f"{name}.pkl")
+        with open(paths[name], "wb") as f:
+            pickle.dump(recs, f)
+    emb_path = os.path.join(work_dir, "emb.pkl")
+    with open(emb_path, "wb") as f:
+        pickle.dump({i: rng.standard_normal(64).astype(np.float32)
+                     for i in range(vocab_size)}, f)
+
+    def train_once(tag, extra):
+        log = os.path.join(work_dir, f"train_{tag}.log")
+        if os.path.exists(log):
+            os.remove(log)
+        final_val = train_main(
+            [
+                "--batch_size", str(batch_size), "--val_batch_size", "16",
+                "--epochs", str(epochs), "--lr", "3e-4",
+                "--curriculums", "[0,0]", "--log_interval", "5",
+                "--val_interval_ratio", "1.0",
+                "--train_data_path", paths["train"],
+                "--val_data_path", paths["val"],
+                "--vocab_path", vocab, "--token_emb_path", emb_path,
+                "--log_path", log, "--alpha", "0.2", "--dtype", "float32",
+                "--mesh_data", "1", "--mesh_model", "1",
+            ] + extra,
+            mcfg=mcfg,
+            dcfg=dcfg,
+        )
+        curve = []
+        with open(log, encoding="utf-8") as f:
+            for line in f:
+                m = re.search(
+                    r"End eval of epoch (\d+)\. Val\. Loss: ([0-9.]+)", line)
+                if m:
+                    curve.append(float(m.group(2)))
+        return float(final_val), curve
+
+    parity_final, parity_curve = train_once("parity", [])
+    packed_final, packed_curve = train_once(
+        "packed", ["--pack_sequences", "--pack_row_len", "256"])
+    report = {
+        "config": {"n_train": n_train, "epochs": epochs,
+                   "batch_size": batch_size,
+                   "note": "synthetic fixtures; val loss is the PARITY "
+                           "objective for both runs (eval is never "
+                           "packed), so the curves are comparable"},
+        "parity": {"final_val": parity_final, "val_curve": parity_curve},
+        "packed": {"final_val": packed_final, "val_curve": packed_curve},
+        "both_learned": bool(parity_curve[-1] < parity_curve[0]
+                             and packed_curve[-1] < packed_curve[0]),
+    }
+    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+    with open(out_json, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2, ensure_ascii=False)
+    print(json.dumps(report, indent=2))
+    return report
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="chinese",
                     choices=["chinese", "english"])
+    ap.add_argument("--pack_ab", action="store_true",
+                    help="run the parity-vs-packed training A/B instead "
+                         "of the full quality loop")
     a = ap.parse_args()
+    if a.pack_ab:
+        run_pack_ab()
+        sys.exit(0)
     run(
         variant=a.variant,
         out_json=("docs/QUALITY_LOOP_EN.json" if a.variant == "english"
