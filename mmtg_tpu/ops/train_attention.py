@@ -450,11 +450,15 @@ def _bwd_kernel_packed(seed_ref, qkv_ref, qb_ref, bias_ref, do_ref,
         )
 
 
-def _batch_block_packed(B: int) -> int:
+def _batch_block_packed(B: int, T: int = 256) -> int:
     """Rows per program. The whole [bB, T, 3·H·hd] slab + [bB, T, T] f32
-    score scratch must fit VMEM; 8 rows keeps the bwd under ~70 MB at
-    T=256, H·hd=768."""
+    score scratch must fit VMEM with Mosaic's 2-level window buffering:
+    8 rows fits at T ≤ 384 (measured); the bwd at bB=8, T=512 needs
+    151.9 M of 128 M (measured overflow, r05 packing bench), so bB
+    halves as T grows — bB·T ≤ 3072."""
     bB = 8
+    while bB > 1 and bB * T > 3072:
+        bB //= 2
     while B % bB:
         bB //= 2
     return bB
@@ -480,7 +484,7 @@ def _fwd_call_packed(qkv, qkv_bias, bias, seed, n_head, rate, scale,
                      interpret):
     B, T, S = qkv.shape
     hd = S // (3 * n_head)
-    bB = _batch_block_packed(B)
+    bB = _batch_block_packed(B, T)
     slab_block, ctx_block, bias_block, qb_block = _specs_packed(
         T, bB, S, n_head * hd)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -506,7 +510,7 @@ def _bwd_call_packed(qkv, qkv_bias, bias, seed, do, n_head, rate, scale,
                      interpret):
     B, T, S = qkv.shape
     hd = S // (3 * n_head)
-    bB = _batch_block_packed(B)
+    bB = _batch_block_packed(B, T)
     slab_block, ctx_block, bias_block, qb_block = _specs_packed(
         T, bB, S, n_head * hd)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -640,7 +644,7 @@ def _seg_call_packed(kernel, qkv, qkv_bias, seg, seed, n_head, rate, scale,
                      interpret, bwd_do=None):
     B, T, S = qkv.shape
     hd = S // (3 * n_head)
-    bB = _batch_block_packed(B)
+    bB = _batch_block_packed(B, T)
     slab_block, ctx_block, _, qb_block = _specs_packed(T, bB, S, n_head * hd)
     seg_block = pl.BlockSpec(
         (bB, 1, T), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
