@@ -176,6 +176,7 @@ class GenerationService:
         base_seed: int = 0,
         mesh=None,
         max_queue_depth: int = 4096,
+        stall_unhealthy_s: float = 120.0,
     ):
         if list(buckets) != sorted(set(int(b) for b in buckets)) or not buckets:
             raise ValueError(f"buckets must be ascending and unique: {buckets}")
@@ -240,6 +241,18 @@ class GenerationService:
         # then fails fast with the cause instead of queueing into a void
         self._engine_error: Optional[BaseException] = None
         self._lock = threading.Lock()
+        # Liveness: a decode call that never returns (r05 75-min soak:
+        # a tunnel stall at t≈70 min wedged the collector inside
+        # np.asarray with zero completions for the rest of the run) is a
+        # HANG, not a crash — no exception fires, /healthz kept saying
+        # ok. The progress clock resets when a window is formed and when
+        # one completes; "stalled" = work pending AND no progress for
+        # stall_unhealthy_s. /healthz turns 503 so an orchestrator can
+        # restart the process (the stuck device call itself cannot be
+        # interrupted from Python).
+        self.stall_unhealthy_s = float(stall_unhealthy_s)
+        self._last_progress = time.monotonic()
+        self._inflight_count = 0  # dispatched windows not yet collected
         self._stats = {
             "requests": 0,
             "batches": 0,
@@ -268,17 +281,30 @@ class GenerationService:
         self._collector.start()
         return self
 
-    def stop(self) -> None:
+    def stop(self, join_timeout_s: float = 120.0) -> None:
         if self._thread is None:
             return
         self._stopping = True  # submit() rejects from here on
         self._queue.put(None)
-        self._thread.join()
-        self._collector.join()
+        self._thread.join(join_timeout_s)
+        self._collector.join(join_timeout_s)
+        wedged = (self._thread.is_alive() or self._collector.is_alive())
+        if wedged:
+            # a decode call that never returns (r05 soak: tunnel stall)
+            # cannot be interrupted from Python — record the wedge, fail
+            # the queued work, and leave the daemon threads to die with
+            # the process instead of hanging shutdown forever
+            self._engine_error = RuntimeError(
+                f"engine wedged: worker threads did not join within "
+                f"{join_timeout_s}s (in-flight device call never returned)"
+            )
         self._thread = self._collector = None
         # belt-and-braces: fail any straggler that raced past the
         # _stopping check into the queue after the batcher drained it
-        self._fail_queued("service stopped before decoding")
+        self._fail_queued(
+            "service stopped before decoding" if not wedged
+            else "service stopped while engine wedged"
+        )
         self._stopping = False
 
     def _fail_queued(self, msg: str) -> None:
@@ -489,6 +515,13 @@ class GenerationService:
         with self._lock:
             out = dict(self._stats)
             lat = sorted(self._latencies_ms)
+            pending = self._queue.qsize() + self._inflight_count
+            out["pending"] = pending
+            # seconds without a window forming/completing WHILE work is
+            # pending — the hang signal (0 when idle)
+            out["stalled_s"] = round(
+                time.monotonic() - self._last_progress, 1
+            ) if pending > 0 else 0.0
         n_b = max(out["batches"], 1)
         # "served" counts rows whose window COMPLETED (collector-side);
         # using submitted-minus-cancelled here would let a backlog push
@@ -695,6 +728,9 @@ class GenerationService:
                 if isinstance(e, Exception):
                     continue
                 raise
+            with self._lock:
+                self._inflight_count += 1
+                self._last_progress = time.monotonic()  # window formed
             self._inflight.put((reqs, bucket, tokens))
 
     def _collect_loop(self) -> None:
@@ -718,6 +754,7 @@ class GenerationService:
                         break
                     host_blocks.append(arr)
                     with self._lock:
+                        self._last_progress = time.monotonic()
                         self._stats["stream_tokens"] += arr.shape[1] * sum(
                             r.blocks is not None for r in reqs
                         )
@@ -727,6 +764,8 @@ class GenerationService:
                 if failed is not None:
                     with self._lock:
                         self._stats["errors"] += 1
+                        self._inflight_count -= 1
+                        self._last_progress = time.monotonic()
                     for r in reqs:
                         r.future.set_exception(failed)
                         if r.blocks is not None:
@@ -748,11 +787,15 @@ class GenerationService:
                 except Exception as e:  # pragma: no cover - defensive
                     with self._lock:
                         self._stats["errors"] += 1
+                        self._inflight_count -= 1
+                        self._last_progress = time.monotonic()
                     for r in reqs:
                         r.future.set_exception(e)
                     continue
             now = time.monotonic()
             with self._lock:
+                self._inflight_count -= 1
+                self._last_progress = now
                 self._stats["batches"] += 1
                 self._stats["padded_rows"] += bucket - len(reqs)
                 self._stats["served"] += len(reqs)
@@ -797,6 +840,9 @@ def prometheus_metrics(stats: Dict) -> str:
         "mean_batch": ("window_mean_rows", "Mean served rows per window"),
         "uptime_s": ("uptime_seconds", "Seconds since service start"),
         "tokens_per_s": ("tokens_per_second", "tokens_served/uptime"),
+        "pending": ("pending_rows", "Queued + in-flight rows"),
+        "stalled_s": ("stalled_seconds",
+                      "Seconds without window progress while work pends"),
     }
     lines: list[str] = []
     for key, (name, help_) in counters.items():
@@ -836,7 +882,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802
         svc: GenerationService = self.server.service  # type: ignore[attr-defined]
         if self.path == "/healthz":
-            self._json(200, {"ok": True})
+            st = svc.stats()
+            if st["stalled_s"] > svc.stall_unhealthy_s:
+                # engine wedged (decode call never returned — r05 soak
+                # finding): report unhealthy so the orchestrator restarts
+                self._json(503, {"ok": False, "stalled_s": st["stalled_s"],
+                                 "pending": st["pending"]})
+            else:
+                self._json(200, {"ok": True})
         elif self.path == "/stats":
             self._json(200, svc.stats())
         elif self.path == "/metrics":
@@ -1022,6 +1075,12 @@ def build_arg_parser():
                         "ride the window batcher now — capacity and "
                         "shedding are governed by --max_queue_depth like "
                         "every other request")
+    p.add_argument("--stall_unhealthy_s", default=120.0, type=float,
+                   help="/healthz turns 503 when work is pending but no "
+                        "window formed or completed for this long (a "
+                        "decode call that never returns — e.g. a device/"
+                        "tunnel stall — is a hang, not a crash; the "
+                        "orchestrator should restart on it)")
     return p
 
 
@@ -1089,6 +1148,7 @@ def build_service(args, mcfg: ModelConfig | None = None,
         base_seed=args.seed,
         mesh=mesh,
         max_queue_depth=args.max_queue_depth,
+        stall_unhealthy_s=getattr(args, "stall_unhealthy_s", 120.0),
     ).start()
     return service, tokenizer
 

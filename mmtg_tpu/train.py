@@ -295,7 +295,8 @@ def make_train_step(mcfg, dcfg, tcfg, tx, pp=None, zero1_shardings=None,
             )(params)
             return grads, metrics
 
-        B = batch["targets"].shape[0]
+        # every batch leaf is batch-leading (parity rows or packed rows)
+        B = jax.tree.leaves(batch)[0].shape[0]
         if B % N:
             raise ValueError(f"batch {B} not divisible by grad_accum {N}")
         chunks = jax.tree.map(

@@ -963,3 +963,61 @@ def test_prometheus_metrics_renders_stats():
         name, val = line.rsplit(" ", 1)
         float(val)
         assert name.startswith("mmtg_")
+
+
+def test_stall_detection_and_wedged_stop(serve_setup):
+    """r05 75-min soak finding: a decode call that never returns (device/
+    tunnel stall) is a HANG, not a crash — no exception fires. The
+    service must (a) report growing ``stalled_s`` while work is pending,
+    (b) refuse to hang forever in stop() (join timeout → engine_error),
+    and (c) report stalled_s == 0 when healthy/idle."""
+    import threading as _t
+
+    params, const, mcfg, dcfg, gcfg, samples = serve_setup
+    svc = GenerationService(params, const, mcfg, dcfg, gcfg,
+                            buckets=(2,), max_wait_ms=5.0, base_seed=0,
+                            stall_unhealthy_s=0.2)
+    release = _t.Event()
+
+    class _Hang:
+        """Stands in for the in-flight device value; collector's
+        np.asarray() blocks like a wedged device→host transfer."""
+        def __array__(self, dtype=None, copy=None):
+            release.wait(60.0)
+            raise RuntimeError("wedge released")
+
+    orig = svc._decode
+    svc._decode = lambda batch, seeds: _Hang()
+    try:
+        with svc:
+            fut = svc.submit(samples[0], seed=1)
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                st = svc.stats()
+                if st["stalled_s"] > 0.2 and st["pending"] >= 1:
+                    break
+                time.sleep(0.05)
+            else:
+                raise AssertionError(f"never stalled: {svc.stats()}")
+            assert st["stalled_s"] > svc.stall_unhealthy_s
+            # stop() must not hang on the wedged collector
+            t0 = time.time()
+            svc.stop(join_timeout_s=0.5)
+            assert time.time() - t0 < 10
+            assert svc._engine_error is not None
+            assert "wedged" in str(svc._engine_error)
+    finally:
+        release.set()
+        svc._decode = orig
+        with pytest.raises(Exception):
+            fut.result(timeout=5)
+
+    # healthy control: a fresh service completes a window and reads
+    # stalled_s == 0 when idle
+    svc2 = GenerationService(params, const, mcfg, dcfg, gcfg,
+                             buckets=(2,), max_wait_ms=5.0, base_seed=0)
+    with svc2:
+        svc2.submit(samples[0], seed=2).result(timeout=600)
+        st = svc2.stats()
+    assert st["pending"] == 0
+    assert st["stalled_s"] == 0.0
